@@ -1,0 +1,110 @@
+"""Typed runtime configuration.
+
+Replaces the reference's compile-time macro config
+(reference include/common/settings.cuh:1-209): every knob that was a
+``-D`` preprocessor flag there is a field here.  Fields that shape traced
+computations (sizes, iteration caps, integrator type) are static python
+values -- changing them triggers a re-jit, which mirrors the reference's
+recompile-per-setting workflow (experiments/runner.py) at far lower cost.
+Numeric tolerances (pcg exit tol, rho) are traced scalars so they can be
+swept without recompilation.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class CostConfig:
+    """Tracking-cost weights (reference include/common/settings.cuh:90-100).
+
+    cost_k = 0.5*||ee_xyz(q_k) - goal_xyz_k||^2 + 0.5*qd_cost*||qd_k||^2
+             + 0.5*r_cost*||u_k||^2            (control term absent at k=N-1)
+    (reference include/dynamics/iiwa/iiwa_eepos_plant.cuh:242-290)
+    """
+
+    qd_cost: float = 1e-4
+    r_cost: float = 1e-4   # reference uses 1e-3 when KNOT_POINTS == 64
+
+    @staticmethod
+    def for_knots(knot_points: int) -> "CostConfig":
+        # reference settings.cuh:90-96: R_COST .001 iff KNOT_POINTS == 64
+        return CostConfig(r_cost=1e-3 if knot_points == 64 else 1e-4)
+
+
+@dataclasses.dataclass(frozen=True)
+class PCGConfig:
+    """PCG solver knobs (reference struct pcg_config, include/mpcsim.cuh:250-253)."""
+
+    max_iter: int = 173
+    exit_tol: float = 1e-5          # threshold on eta = r' Pinv r
+    preconditioned: bool = True     # ENABLE_PRECONDITIONING ablation flag
+
+    @staticmethod
+    def tuned_max_iter(knot_points: int) -> int:
+        # reference settings.cuh:135-156 (empirical per-N caps)
+        return {32: 173, 64: 167, 128: 167, 256: 118, 512: 67}.get(knot_points, 200)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Full SQP/MPC configuration (reference include/common/settings.cuh)."""
+
+    knot_points: int = 64
+    state_size: int = 14
+    control_size: int = 7
+    timestep: float = 0.015625          # 1/64 s (reference examples/track_iiwa_pcg.cu:19)
+    integrator_type: int = 0            # 0: Euler, 1: semi-implicit Euler
+    angle_wrap: bool = False
+
+    sqp_max_iter: int = 40              # settings.cuh:164-170 (40 iter-mode / 20 time-mode)
+    merit_mu: float = 10.0              # pcg/sqp.cuh:62
+    num_alphas: int = 8                 # pcg/sqp.cuh:63; alpha_i = 1/2^i
+
+    rho_init: float = 1e-3              # mpcsim.cuh:256
+    rho_min: float = 1e-3               # settings.cuh:197-199
+    rho_factor: float = 1.2             # settings.cuh:202-204
+    rho_max: float = 10.0               # settings.cuh:206-208
+    rho_reset: float = 1e-3
+
+    pcg: PCGConfig = dataclasses.field(default_factory=PCGConfig)
+    cost: CostConfig = dataclasses.field(default_factory=CostConfig)
+
+    # simulation harness (reference mpcsim.cuh)
+    simulation_period_us: float = 2000.0  # settings.cuh:76-78 -> 500 Hz control
+    sim_step_time: float = 2e-4           # integrator.cuh:304
+    shift_threshold_fraction: float = 1.0  # settings.cuh:72-74 (fraction of dt)
+
+    gravity: float = 0.0                # gato_plant::GRAVITY (iiwa_eepos_plant.cuh:51)
+
+    @property
+    def nx(self) -> int:
+        return self.state_size
+
+    @property
+    def nu(self) -> int:
+        return self.control_size
+
+    @property
+    def nq(self) -> int:
+        return self.state_size // 2
+
+    @staticmethod
+    def for_knots(knot_points: int, **kw) -> "SolverConfig":
+        """Config with the reference's per-N tuned defaults."""
+        return SolverConfig(
+            knot_points=knot_points,
+            cost=CostConfig.for_knots(knot_points),
+            pcg=PCGConfig(max_iter=PCGConfig.tuned_max_iter(knot_points)),
+            **kw,
+        )
+
+
+def default_pcg_exit_tols(knot_points: int) -> list:
+    """Per-N sweep of exit tolerances (reference examples/track_iiwa_pcg.cu:46-68)."""
+    if knot_points == 32:
+        return [5e-6, 7.5e-6, 5e-6, 2.5e-6, 1e-6]
+    if knot_points == 64:
+        return [5e-5, 7.5e-5, 5e-5, 2.5e-5, 1e-5]
+    return [1e-5, 5e-5, 1e-4, 5e-4, 1e-3]
