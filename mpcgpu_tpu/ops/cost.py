@@ -1,0 +1,61 @@
+"""End-effector tracking cost, gradient, and Gauss-Newton Hessian.
+
+Semantics of the reference plant adapter
+(reference include/dynamics/iiwa/iiwa_eepos_plant.cuh):
+
+  cost      :242-290:  J_k = 0.5 ||ee_xyz(q_k) - goal_k||^2
+                             + 0.5 qd_cost ||qd_k||^2
+                             + 0.5 r_cost ||u_k||^2   (no u term at k = N-1)
+  gradient  :329-354:  dq = J_ee' e  (position rows only); dqd = qd_cost qd;
+                       du = r_cost u
+  Hessian   :358-377:  Q[0:nq,0:nq] = dq dq'  (outer product of the gradient),
+                       Q elsewhere = qd_cost on the diagonal;  R = r_cost I.
+
+Everything is batched over the knot axis.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mpcgpu_tpu.models import dynamics as dyn
+from mpcgpu_tpu.models.robot import RobotModel
+
+
+def knot_cost(model: RobotModel, qd_cost, r_cost, x, u, goal, use_control):
+    """Single-knot tracking cost; ``use_control`` masks the u term at k=N-1."""
+    nq = x.shape[0] // 2
+    q, qd = x[:nq], x[nq:]
+    ee = dyn.ee_pos(model, q)
+    err = ee[:3] - goal[:3]
+    cost = 0.5 * (err @ err) + 0.5 * qd_cost * (qd @ qd)
+    return cost + use_control * 0.5 * r_cost * (u @ u)
+
+
+def trajectory_cost(model, qd_cost, r_cost, X, U, goals):
+    """Sum of knot costs for X (N, nx), U (N-1, nu), goals (N, 6)."""
+    n = X.shape[0]
+    Upad = jnp.concatenate([U, jnp.zeros((1, U.shape[1]), U.dtype)])
+    use_u = jnp.arange(n) < n - 1
+    costs = jax.vmap(
+        lambda x, u, g, m: knot_cost(model, qd_cost, r_cost, x, u, g, m)
+    )(X, Upad, goals, use_u.astype(X.dtype))
+    return costs.sum()
+
+
+def cost_gradient_and_hessian(model: RobotModel, qd_cost, r_cost, x, u, goal):
+    """Per-knot (Q, q_grad, R, r_grad) exactly as the reference forms them."""
+    nq = x.shape[0] // 2
+    nx = x.shape[0]
+    q, qd = x[:nq], x[nq:]
+    ee, J = dyn.ee_pos_and_jac(model, q)   # J: (3, nq) position Jacobian
+    err = ee[:3] - goal[:3]
+
+    g_q = J.T @ err                        # (nq,)
+    g = jnp.concatenate([g_q, qd_cost * qd])
+    r_grad = r_cost * u
+
+    Q = qd_cost * jnp.eye(nx, dtype=x.dtype)
+    Q = Q.at[:nq, :nq].set(jnp.outer(g_q, g_q))
+    R = r_cost * jnp.eye(u.shape[0], dtype=x.dtype)
+    return Q, g, R, r_grad
