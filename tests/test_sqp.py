@@ -1,0 +1,102 @@
+"""SQP solver tests on the real IIWA tracking problem (fixture 0_0)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpcgpu_tpu.config import SolverConfig
+from mpcgpu_tpu.ops import merit as merit_ops
+from mpcgpu_tpu.sqp import sqp_solve
+
+N = 16
+
+
+@pytest.fixture(scope="module")
+def problem(traj_0_0):
+    xu, ee = traj_0_0
+    X = jnp.asarray(xu[:N, :14])
+    U = jnp.asarray(xu[:N - 1, 14:])
+    goals = jnp.asarray(ee[:N])
+    xs = X[0]
+    lam = jnp.zeros((N, 14), jnp.float32)
+    cfg = SolverConfig.for_knots(N, sqp_max_iter=8)
+    return cfg, X, U, goals, xs, lam
+
+
+def _merit(cfg, model, X, U, goals, xs):
+    return float(
+        merit_ops.merit(
+            model, X, U, goals, xs, cfg.timestep, cfg.merit_mu,
+            cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type, cfg.gravity,
+        )
+    )
+
+
+def test_sqp_decreases_merit_from_perturbed_start(iiwa, problem):
+    cfg, X, U, goals, xs, lam = problem
+    rng = np.random.default_rng(0)
+    Xp = X + 0.03 * jnp.asarray(rng.normal(size=X.shape), jnp.float32)
+    Xp = Xp.at[0].set(xs)  # MPC loop re-injects the measured state
+    Up = U + 0.03 * jnp.asarray(rng.normal(size=U.shape), jnp.float32)
+
+    m0 = _merit(cfg, iiwa, Xp, Up, goals, xs)
+    res = sqp_solve(iiwa, cfg, Xp, Up, lam, goals, xs, 1e-3, 1e-8)
+    m1 = float(res.stats.final_merit)
+    assert m1 < m0, (m0, m1)
+    assert m1 == pytest.approx(_merit(cfg, iiwa, res.X, res.U, goals, xs), rel=1e-3)
+    assert bool(res.stats.accepted.any())
+    # the solve must also beat the unperturbed (near-feasible) start
+    assert m1 < _merit(cfg, iiwa, X, U, goals, xs) * 1.5
+
+
+def test_pcg_and_dense_backends_agree(iiwa, problem):
+    """Pluggable linsys seam: tight-tolerance PCG must match the exact
+    on-device solve (the reference's QDLDL-oracle comparison,
+    experiments/runner.py:64-93)."""
+    cfg, X, U, goals, xs, lam = problem
+    rng = np.random.default_rng(1)
+    Xp = X + 0.02 * jnp.asarray(rng.normal(size=X.shape), jnp.float32)
+    Xp = Xp.at[0].set(xs)
+
+    # single-iteration comparison: with identical inputs, one SQP step with
+    # tight-tolerance PCG must take (nearly) the same step as the exact solve.
+    cfg1 = SolverConfig.for_knots(N, sqp_max_iter=1)
+    r1_pcg = sqp_solve(iiwa, cfg1, Xp, U, lam, goals, xs, 1e-3, 1e-11, linsys="pcg")
+    r1_dense = sqp_solve(iiwa, cfg1, Xp, U, lam, goals, xs, 1e-3, 1e-11, linsys="dense")
+    np.testing.assert_allclose(
+        np.asarray(r1_pcg.X), np.asarray(r1_dense.X), rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1_pcg.U), np.asarray(r1_dense.U), rtol=5e-3, atol=5e-3
+    )
+
+    # multi-iteration: tiny linsys differences legitimately change line-search
+    # picks, so compare achieved merit quality, not the iterate path.
+    m0 = _merit(cfg, iiwa, Xp, U, goals, xs)
+    r_pcg = sqp_solve(iiwa, cfg, Xp, U, lam, goals, xs, 1e-3, 1e-11, linsys="pcg")
+    r_dense = sqp_solve(iiwa, cfg, Xp, U, lam, goals, xs, 1e-3, 1e-11, linsys="dense")
+    m_pcg, m_dense = float(r_pcg.stats.final_merit), float(r_dense.stats.final_merit)
+    assert m_pcg < m0 and m_dense < m0
+    assert abs(m_pcg - m_dense) < 0.15 * m0, (m_pcg, m_dense, m0)
+
+
+def test_pcg_iterations_within_reference_envelope(iiwa, problem):
+    """At the reference's tuned tolerances the per-solve PCG iteration count
+    must stay within its tuned max-iter caps (settings.cuh:135-156)."""
+    cfg, X, U, goals, xs, lam = problem
+    res = sqp_solve(iiwa, cfg, X, U, lam, goals, xs, 1e-3, 1e-5)
+    iters = np.asarray(res.stats.pcg_iters)
+    ran = iters[iters >= 0]
+    assert ran.size > 0
+    assert ran.max() <= 200
+    assert not bool(res.stats.pcg_hit_max.any())
+
+
+def test_rho_escalation_bails(iiwa, problem):
+    """With an absurd starting rho the solve must bail via the rho > rho_max
+    path and reset rho (pcg/sqp.cuh:373-383)."""
+    cfg, X, U, goals, xs, lam = problem
+    # start at optimum-ish with huge rho so steps are tiny and rejected
+    res = sqp_solve(iiwa, cfg, X, U, lam, goals, xs, 9.99, 1e-5)
+    if bool(res.stats.rho_bailed):
+        assert float(res.rho) == pytest.approx(cfg.rho_reset)
