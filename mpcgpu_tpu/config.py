@@ -26,6 +26,7 @@ class CostConfig:
 
     qd_cost: float = 1e-4
     r_cost: float = 1e-4   # reference uses 1e-3 when KNOT_POINTS == 64
+    hessian: str = "reference"  # or "gauss_newton" (see ops/cost.py)
 
     @staticmethod
     def for_knots(knot_points: int) -> "CostConfig":

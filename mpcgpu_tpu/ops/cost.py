@@ -43,8 +43,17 @@ def trajectory_cost(model, qd_cost, r_cost, X, U, goals):
     return costs.sum()
 
 
-def cost_gradient_and_hessian(model: RobotModel, qd_cost, r_cost, x, u, goal):
-    """Per-knot (Q, q_grad, R, r_grad) exactly as the reference forms them."""
+def cost_gradient_and_hessian(model: RobotModel, qd_cost, r_cost, x, u, goal,
+                              hessian: str = "reference"):
+    """Per-knot (Q, q_grad, R, r_grad).
+
+    hessian="reference": the reference's rank-1 outer product g_q g_q' for
+    the position block (iiwa_eepos_plant.cuh:363) -- note this vanishes at
+    zero tracking error, leaving only the rho regularizer as curvature.
+    hessian="gauss_newton": the true Gauss-Newton J'J, which keeps full
+    curvature in the task directions (offered as an extension; changes the
+    solution, not just the path).
+    """
     nq = x.shape[0] // 2
     nx = x.shape[0]
     q, qd = x[:nq], x[nq:]
@@ -56,6 +65,11 @@ def cost_gradient_and_hessian(model: RobotModel, qd_cost, r_cost, x, u, goal):
     r_grad = r_cost * u
 
     Q = qd_cost * jnp.eye(nx, dtype=x.dtype)
-    Q = Q.at[:nq, :nq].set(jnp.outer(g_q, g_q))
+    if hessian == "reference":
+        Q = Q.at[:nq, :nq].set(jnp.outer(g_q, g_q))
+    elif hessian == "gauss_newton":
+        Q = Q.at[:nq, :nq].set(J.T @ J)
+    else:
+        raise ValueError(f"unknown hessian mode {hessian!r}")
     R = r_cost * jnp.eye(u.shape[0], dtype=x.dtype)
     return Q, g, R, r_grad

@@ -41,7 +41,8 @@ class KKTData(NamedTuple):
 
 
 def form_kkt(model: RobotModel, X, U, goals, xs, dt, qd_cost, r_cost,
-             integrator_type: int = 0, gravity: float = 0.0) -> KKTData:
+             integrator_type: int = 0, gravity: float = 0.0,
+             hessian: str = "reference") -> KKTData:
     """Linearize dynamics and cost around (X, U)."""
     lin = jax.vmap(
         lambda x, u, xn: integ.integrator_and_gradient(
@@ -52,7 +53,7 @@ def form_kkt(model: RobotModel, X, U, goals, xs, dt, qd_cost, r_cost,
 
     gh = jax.vmap(
         lambda x, u, g: cost_ops.cost_gradient_and_hessian(
-            model, qd_cost, r_cost, x, u, g
+            model, qd_cost, r_cost, x, u, g, hessian
         )
     )
     # last knot has no control; reference evaluates it with computeR=false

@@ -1,0 +1,278 @@
+"""Closed-loop MPC simulation harness: solver-in-the-loop plant tracking.
+
+TPU-native rebuild of ``simulateMPC`` (reference include/mpcsim.cuh:170-498):
+the measured plant is integrated forward for exactly one control period
+per solve, the horizon / end-effector goals / duals shift forward each
+trajectory timestep, and end-effector tracking error is recorded at every
+shift.  The outer control loop is host Python (as in the reference); every
+device-side stage -- the SQP solve, the plant rollout, and the shift -- is
+a single jitted call.
+
+Replicated reference details:
+  * warm-up: 100 pre-solves at tol 1e-11 / 10k PCG iters with the iterate
+    reset to the precomputed trajectory each time; lam and rho persist
+    (REMOVE_JITTERS, mpcsim.cuh:259-279).
+  * plant rollout: 0.2 ms explicit-Euler substeps, each using the control
+    active at its simulation clock within the *previous* plan, plus a
+    fmod remainder substep (simple_simulate, include/common/integrator.cuh:
+    296-325).
+  * shift: trajectory roll with tail refill -- from the precomputed
+    trajectory while within it (including the reference's tail-fill
+    source index (nx+nu)*traj_offset - nu, mpcsim.cuh:362), else hold the
+    goal pose with zero velocity/control (mpcsim.cuh:364-369).
+  * measured-state re-injection x_0 <- xs after every update
+    (mpcsim.cuh:394).
+  * tracking error: L1 xyz error of ee(xs) vs the current first goal,
+    recorded before each shift (mpcsim.cuh:346-354).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpcgpu_tpu.config import SolverConfig
+from mpcgpu_tpu.models import dynamics as dyn
+from mpcgpu_tpu.models.robot import RobotModel
+from mpcgpu_tpu.sqp import sqp_solve
+
+
+@dataclasses.dataclass
+class MPCRecord:
+    """Per-run statistics (the reference's .result dumps, mpcsim.cuh:59-138)."""
+
+    tracking_errors: List[float] = dataclasses.field(default_factory=list)
+    tracking_path: List[np.ndarray] = dataclasses.field(default_factory=list)
+    sqp_iters: List[int] = dataclasses.field(default_factory=list)
+    sqp_times_us: List[float] = dataclasses.field(default_factory=list)
+    sqp_exits: List[bool] = dataclasses.field(default_factory=list)
+    pcg_iters: List[int] = dataclasses.field(default_factory=list)
+    pcg_exits: List[bool] = dataclasses.field(default_factory=list)
+    final_tracking_error: float = float("nan")
+    control_updates: int = 0
+    timesteps: int = 0
+
+    def summary(self) -> dict:
+        te = np.asarray(self.tracking_errors, np.float64)
+        st = np.asarray(self.sqp_times_us, np.float64)
+        pi = np.asarray(self.pcg_iters, np.float64)
+        return {
+            "avg_tracking_error": float(te.mean()) if te.size else float("nan"),
+            "max_tracking_error": float(te.max()) if te.size else float("nan"),
+            "final_tracking_error": self.final_tracking_error,
+            "avg_sqp_time_us": float(st.mean()) if st.size else float("nan"),
+            "p50_sqp_time_us": float(np.median(st)) if st.size else float("nan"),
+            "p95_sqp_time_us": float(np.percentile(st, 95)) if st.size else float("nan"),
+            "avg_pcg_iters": float(pi.mean()) if pi.size else float("nan"),
+            "pcg_max_exit_rate": (
+                float(np.mean(self.pcg_exits)) if self.pcg_exits else float("nan")
+            ),
+            "control_updates": self.control_updates,
+            "timesteps": self.timesteps,
+        }
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_substeps"))
+def _plant_rollout(model: RobotModel, cfg: SolverConfig, x, U_prev,
+                   offset_us, sim_time_us, max_substeps: int):
+    """Integrate the measured plant for sim_time_us microseconds.
+
+    Mirrors simple_simulate (integrator.cuh:296-325): fixed 0.2 ms substeps
+    (always explicit Euler) choosing, per substep, the control active at the
+    simulation clock inside the previous plan, then a remainder substep.
+    A zero-dt substep is the identity, so inactive substeps integrate with
+    dt = 0 instead of branching.
+    """
+    sub = jnp.asarray(cfg.sim_step_time, x.dtype)
+    t0 = offset_us * 1e-6
+    total = sim_time_us * 1e-6
+    n_steps = jnp.floor(total / sub).astype(jnp.int32)
+    n_ctrl = U_prev.shape[0]
+
+    def substep(s, x):
+        active = (s < n_steps).astype(x.dtype)
+        t = t0 + s * sub
+        idx = jnp.clip((t / cfg.timestep).astype(jnp.int32), 0, n_ctrl - 1)
+        u = U_prev[idx]
+        nq = x.shape[0] // 2
+        qdd = dyn.forward_dynamics(model, x[:nq], x[nq:], u, cfg.gravity)
+        dxdt = jnp.concatenate([x[nq:], qdd])
+        return x + active * sub * dxdt
+
+    x = jax.lax.fori_loop(0, max_substeps, substep, x)
+
+    # remainder substep with the control of the last full substep
+    rem = jnp.mod(total, sub)
+    t_last = t0 + jnp.maximum(n_steps - 1, 0) * sub
+    idx = jnp.clip((t_last / cfg.timestep).astype(jnp.int32), 0, n_ctrl - 1)
+    u = U_prev[idx]
+    nq = x.shape[0] // 2
+    qdd = dyn.forward_dynamics(model, x[:nq], x[nq:], u, cfg.gravity)
+    return x + rem * jnp.concatenate([x[nq:], qdd])
+
+
+@jax.jit
+def _shift_horizon(X, U, goals, lam, xu_traj, ee_traj, traj_offset):
+    """One horizon shift with tail refill (mpcsim.cuh:343-387).
+
+    traj_offset is the *already incremented* trajectory index.
+    """
+    n = X.shape[0]
+    nx, nu = X.shape[1], U.shape[1]
+    traj_steps = xu_traj.shape[0]
+    within = traj_offset + n < traj_steps
+
+    X = jnp.roll(X, -1, axis=0)
+    U = jnp.roll(U, -1, axis=0)
+    # within-trajectory tail fill uses the reference's source index
+    # (nx+nu)*traj_offset - nu -> [u_{off-1}, x_{off}] (mpcsim.cuh:362)
+    src = jnp.clip(traj_offset, 1, traj_steps - 1)
+    x_fill_in = xu_traj[src, :nx]
+    u_fill_in = xu_traj[src - 1, nx:]
+    # goal-hold fill: goal position, zero velocity, zero control
+    x_goal = xu_traj[traj_steps - 1, :nx]
+    x_fill_out = jnp.concatenate([x_goal[: nx // 2], jnp.zeros(nx // 2, X.dtype)])
+    X = X.at[-1].set(jnp.where(within, x_fill_in, x_fill_out))
+    U = U.at[-1].set(jnp.where(within, u_fill_in, jnp.zeros(nu, U.dtype)))
+
+    goals = jnp.roll(goals, -1, axis=0)
+    gsrc = jnp.clip(traj_offset + n - 1, 0, traj_steps - 1)
+    goals = goals.at[-1].set(ee_traj[gsrc])
+
+    # lam shifts with the horizon, last entry duplicated (mpcsim.cuh:383)
+    lam = jnp.roll(lam, -1, axis=0).at[-1].set(lam[-1])
+    return X, U, goals, lam
+
+
+@jax.jit
+def _tracking_error(model: RobotModel, xs, goal0):
+    nq = xs.shape[0] // 2
+    ee = dyn.ee_pos(model, xs[:nq])
+    return jnp.abs(ee[:3] - goal0[:3]).sum()
+
+
+def simulate_mpc(
+    model: RobotModel,
+    cfg: SolverConfig,
+    xu_traj: np.ndarray,
+    ee_traj: np.ndarray,
+    *,
+    pcg_exit_tol: float,
+    linsys: str = "pcg",
+    max_control_updates: int = 100000,
+    max_timesteps: Optional[int] = None,
+    warmup_iters: int = 100,
+    const_update_freq: bool = True,
+    verbose: bool = False,
+) -> MPCRecord:
+    """Track a precomputed trajectory with the SQP solver in the loop."""
+    n = cfg.knot_points
+    nx, nu = cfg.nx, cfg.nu
+    traj_steps = xu_traj.shape[0] if max_timesteps is None else min(
+        xu_traj.shape[0], max_timesteps
+    )
+    dtype = jnp.float32
+
+    xu_traj_j = jnp.asarray(xu_traj, dtype)
+    ee_traj_j = jnp.asarray(ee_traj, dtype)
+
+    X = jnp.asarray(xu_traj[:n, :nx], dtype)
+    U = jnp.asarray(xu_traj[: n - 1, nx:], dtype)
+    goals = jnp.asarray(ee_traj[:n], dtype)
+    xs = X[0]
+    lam = jnp.zeros((n, nx), dtype)
+    rho = jnp.asarray(cfg.rho_init, dtype)
+
+    X0, U0 = X, U
+
+    # ---- warm-up (REMOVE_JITTERS, mpcsim.cuh:259-279): also compiles.
+    if warmup_iters > 0:
+        warm_cfg = dataclasses.replace(
+            cfg, pcg=dataclasses.replace(cfg.pcg, max_iter=10000)
+        )
+        for _ in range(warmup_iters):
+            res = sqp_solve(model, warm_cfg, X, U, lam, goals, xs, rho,
+                            jnp.asarray(1e-11, dtype), linsys)
+            lam, rho = res.lam, res.rho
+            X, U = X0, U0
+        rho = jnp.asarray(cfg.rho_init, dtype)
+
+    max_substeps = max(
+        1, int(np.ceil(cfg.simulation_period_us * 1e-6 / cfg.sim_step_time)) + 1
+    )
+
+    rec = MPCRecord()
+    rec.tracking_path.append(np.asarray(xs))
+    tol_j = jnp.asarray(pcg_exit_tol, dtype)
+
+    time_since_timestep = 0.0
+    shifted = False
+    traj_offset = 0
+    prev_sim_time = 0.0
+    U_prev = U  # previous plan's controls (xu_old)
+
+    for update in range(max_control_updates):
+        if traj_offset >= traj_steps:
+            break
+
+        t0 = time.perf_counter()
+        res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho, tol_j, linsys)
+        res.X.block_until_ready()
+        solve_us = (time.perf_counter() - t0) * 1e6
+        X, U, lam, rho = res.X, res.U, res.lam, res.rho
+
+        sim_time = cfg.simulation_period_us if const_update_freq else solve_us
+
+        xs = _plant_rollout(
+            model, cfg, xs, U_prev,
+            jnp.asarray(prev_sim_time, dtype), jnp.asarray(sim_time, dtype),
+            max_substeps,
+        )
+        U_prev = U
+
+        time_since_timestep += sim_time * 1e-6
+        if not shifted and time_since_timestep > (
+            cfg.shift_threshold_fraction * cfg.timestep
+        ):
+            rec.tracking_errors.append(float(_tracking_error(model, xs, goals[0])))
+            traj_offset += 1
+            X, U, goals, lam = _shift_horizon(
+                X, U, goals, lam, xu_traj_j, ee_traj_j,
+                jnp.asarray(traj_offset, jnp.int32),
+            )
+            shifted = True
+        if time_since_timestep > cfg.timestep:
+            shifted = False
+            time_since_timestep = float(np.fmod(time_since_timestep, cfg.timestep))
+
+        X = X.at[0].set(xs)  # measured-state re-injection (mpcsim.cuh:394)
+        prev_sim_time = sim_time
+
+        # record stats
+        stats = res.stats
+        iters = np.asarray(stats.pcg_iters)
+        rec.pcg_iters.extend(int(i) for i in iters[iters >= 0])
+        rec.pcg_exits.extend(
+            bool(b) for b in np.asarray(stats.pcg_hit_max)[iters >= 0]
+        )
+        rec.sqp_iters.append(int(stats.sqp_iters))
+        rec.sqp_times_us.append(solve_us)
+        rec.sqp_exits.append(bool(stats.rho_bailed))
+        rec.tracking_path.append(np.asarray(xs))
+
+        if verbose and update % 200 == 0:
+            print(
+                f"update {update}: traj_offset {traj_offset}/{traj_steps} "
+                f"solve {solve_us:.0f}us sqp_iters {int(stats.sqp_iters)} "
+                f"err {rec.tracking_errors[-1] if rec.tracking_errors else float('nan'):.4f}"
+            )
+
+    rec.final_tracking_error = float(_tracking_error(model, xs, goals[0]))
+    rec.control_updates = rec.control_updates or len(rec.sqp_times_us)
+    rec.timesteps = traj_offset
+    return rec

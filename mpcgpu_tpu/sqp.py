@@ -145,6 +145,7 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
         kkt = form_kkt(
             model, st.X, st.U, goals, xs, cfg.timestep,
             cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type, cfg.gravity,
+            cfg.cost.hessian,
         )
         schur = form_schur(kkt, st.rho, preconditioned=cfg.pcg.preconditioned)
         lam_new, pcg_it, hit_max = solve_fn(cfg, schur, st.lam, pcg_exit_tol)
