@@ -1,0 +1,59 @@
+"""Horizon (knot-axis) sharding over a TPU mesh.
+
+The reference's only parallel axis is the horizon: one CUDA thread-block
+per knot point inside a single GPU, synchronized with cooperative-groups
+grid barriers (SURVEY.md section 2.3).  The multi-chip TPU analogue shards
+the knot axis across a 1-D device mesh: every per-knot stage (dynamics,
+KKT, Schur-row formation, line-search merit) is embarrassingly parallel,
+the block-tridiagonal SpMV needs a one-knot halo (a collective-permute),
+and the PCG dot products and merit sums are all-reduces over ICI.
+
+Design: annotate shardings and let XLA GSPMD insert the collectives
+(psum for reductions, collective-permute for the jnp.roll halos) -- the
+scaling-book recipe -- rather than hand-writing them.  The solver code in
+mpcgpu_tpu.sqp is unchanged; this module only places the data.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+KNOT_AXIS = "knots"
+
+
+def horizon_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name "knots"."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (KNOT_AXIS,))
+
+
+def shard_horizon(mesh: Mesh, *arrays):
+    """Place arrays with their leading (knot) axis sharded over the mesh."""
+    sh = NamedSharding(mesh, P(KNOT_AXIS))
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def replicate(mesh: Mesh, *arrays):
+    sh = NamedSharding(mesh, P())
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def sharded_sqp_solve(model, cfg, mesh: Mesh, X, U, lam, goals, xs, rho,
+                      pcg_exit_tol, linsys: str = "pcg"):
+    """One SQP solve with the horizon sharded across the mesh.
+
+    X, lam, goals shard evenly over the knot axis; U has N-1 rows and is
+    padded-sharded by GSPMD.  Collectives (ICI all-reduce for PCG dots and
+    merit sums, collective-permute for block-tridiagonal halos) are
+    inserted by the partitioner.
+    """
+    from mpcgpu_tpu.sqp import sqp_solve
+
+    X, lam, goals = shard_horizon(mesh, X, lam, goals)
+    # U (and the other N-1-row arrays derived from it) have a ragged knot
+    # axis; leave placement to GSPMD, which reshards them to follow the
+    # sharded operands they combine with.
+    U, xs = replicate(mesh, U, xs)
+    return sqp_solve(model, cfg, X, U, lam, goals, xs, rho, pcg_exit_tol, linsys)
