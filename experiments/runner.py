@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Experiment sweep runner.
+
+Rebuild of reference experiments/runner.py:1-419.  The reference rewrites
+settings.cuh from a template and recompiles the CUDA binaries per knot
+count (runner.py:103-330, 61-62); here every knob is runtime
+configuration, so a sweep is just a loop that re-jits per horizon length.
+Results and the exact configuration used are archived per experiment
+(reference store_results, runner.py:332-341).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+DEFAULT_KNOTS = (8, 16, 32, 64, 128, 256, 512)
+
+
+@dataclasses.dataclass
+class Settings:
+    """Sweep settings (reference Settings dataclass, runner.py:38-58)."""
+
+    knot_points: Sequence[int] = DEFAULT_KNOTS
+    pcg_max_iters: Union[int, str] = "adaptive"   # int or per-N tuned table
+    sqp_max_iter: int = 40
+    enable_preconditioning: bool = True
+    pcg_exit_tol: Union[float, str] = "adaptive"  # float or per-N tuned table
+    run_qdldl: bool = False
+    max_timesteps: Optional[int] = None
+    warmup_iters: int = 100
+    hessian: str = "reference"
+
+
+def _solver_config(st: Settings, n: int):
+    from mpcgpu_tpu.config import PCGConfig, SolverConfig
+
+    cfg = SolverConfig.for_knots(n, sqp_max_iter=st.sqp_max_iter)
+    max_iter = (
+        PCGConfig.tuned_max_iter(n)
+        if st.pcg_max_iters == "adaptive"
+        else int(st.pcg_max_iters)
+    )
+    return dataclasses.replace(
+        cfg,
+        pcg=PCGConfig(max_iter=max_iter,
+                      preconditioned=st.enable_preconditioning),
+        cost=dataclasses.replace(cfg.cost, hessian=st.hessian),
+    )
+
+
+def run_expr(settings: Settings, name: str,
+             results_dir=None, fixtures_dir=None) -> dict:
+    """Run the sweep; returns {knots: {solver: summary}} and archives it."""
+    from mpcgpu_tpu.config import default_pcg_exit_tols
+    from mpcgpu_tpu.linsys import qdldl_host  # noqa: F401
+    from mpcgpu_tpu.models.robot import iiwa14
+    from mpcgpu_tpu.sim import simulate_mpc
+    from mpcgpu_tpu.utils.trajfiles import load_fixture_pair
+
+    results_dir = Path(results_dir or REPO / "results") / name
+    results_dir.mkdir(parents=True, exist_ok=True)
+    fixtures_dir = fixtures_dir or REPO / "tests" / "fixtures"
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
+    model = iiwa14()
+
+    all_results = {}
+    for n in settings.knot_points:
+        cfg = _solver_config(settings, n)
+        tol = (
+            default_pcg_exit_tols(n)[0]
+            if settings.pcg_exit_tol == "adaptive"
+            else float(settings.pcg_exit_tol)
+        )
+        per_n = {}
+        solvers = ["pcg"] + (["qdldl"] if settings.run_qdldl else [])
+        for solver in solvers:
+            t0 = time.time()
+            rec = simulate_mpc(
+                model, cfg, xu, ee,
+                pcg_exit_tol=tol, linsys=solver,
+                warmup_iters=settings.warmup_iters,
+                max_timesteps=settings.max_timesteps,
+            )
+            summary = rec.summary()
+            summary["wall_time_s"] = time.time() - t0
+            summary["pcg_exit_tol"] = tol
+            per_n[solver] = summary
+            print(f"N={n} {solver}: "
+                  f"p50_solve={summary['p50_sqp_time_us']:.0f}us "
+                  f"avg_err={summary['avg_tracking_error']:.4f}")
+        all_results[n] = per_n
+
+    with open(results_dir / "results.json", "w") as f:
+        json.dump(all_results, f, indent=2)
+    with open(results_dir / "settings.json", "w") as f:
+        json.dump(dataclasses.asdict(settings), f, indent=2, default=str)
+    return all_results
+
+
+def init_runner(default: Settings) -> Settings:
+    """CLI entry shared by the experiment scripts (runner.py:407-419)."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--knots", type=int, nargs="*", default=None)
+    ap.add_argument("--max-timesteps", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.knots:
+        default = dataclasses.replace(default, knot_points=tuple(args.knots))
+    if args.max_timesteps:
+        default = dataclasses.replace(default, max_timesteps=args.max_timesteps)
+    if args.dry_run:
+        default = dataclasses.replace(
+            default, knot_points=tuple(default.knot_points[:2]),
+            max_timesteps=8, warmup_iters=2,
+        )
+    return default

@@ -77,7 +77,6 @@ class MPCRecord:
         }
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_substeps"))
 def _plant_rollout(model: RobotModel, cfg: SolverConfig, x, U_prev,
                    offset_us, sim_time_us, max_substeps: int):
     """Integrate the measured plant for sim_time_us microseconds.
@@ -116,7 +115,6 @@ def _plant_rollout(model: RobotModel, cfg: SolverConfig, x, U_prev,
     return x + rem * jnp.concatenate([x[nq:], qdd])
 
 
-@jax.jit
 def _shift_horizon(X, U, goals, lam, xu_traj, ee_traj, traj_offset):
     """One horizon shift with tail refill (mpcsim.cuh:343-387).
 
@@ -149,11 +147,34 @@ def _shift_horizon(X, U, goals, lam, xu_traj, ee_traj, traj_offset):
     return X, U, goals, lam
 
 
-@jax.jit
 def _tracking_error(model: RobotModel, xs, goal0):
     nq = xs.shape[0] // 2
     ee = dyn.ee_pos(model, xs[:nq])
     return jnp.abs(ee[:3] - goal0[:3]).sum()
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_substeps"))
+def _mpc_update(model: RobotModel, cfg: SolverConfig, xs, X, U, goals, lam,
+                U_prev, xu_traj, ee_traj, traj_offset, offset_us, sim_time_us,
+                do_shift, max_substeps: int):
+    """Everything between two solves in ONE device dispatch: plant rollout,
+    tracking-error probe, optional horizon shift, measured-state
+    re-injection.  A single jit call per control update matters on remote-
+    attached TPUs, where each eager op / host->device upload costs
+    milliseconds while a jitted dispatch costs microseconds.
+    """
+    xs = _plant_rollout(model, cfg, xs, U_prev,
+                        jnp.asarray(offset_us, X.dtype),
+                        jnp.asarray(sim_time_us, X.dtype), max_substeps)
+    err = _tracking_error(model, xs, goals[0])
+
+    Xs, Us, Gs, Ls = _shift_horizon(X, U, goals, lam, xu_traj, ee_traj,
+                                    traj_offset)
+    sel = lambda a, b: jnp.where(do_shift, a, b)
+    X, U, goals, lam = sel(Xs, X), sel(Us, U), sel(Gs, goals), sel(Ls, lam)
+
+    X = X.at[0].set(xs)  # measured-state re-injection (mpcsim.cuh:394)
+    return xs, X, U, goals, lam, err
 
 
 def simulate_mpc(
@@ -228,29 +249,26 @@ def simulate_mpc(
 
         sim_time = cfg.simulation_period_us if const_update_freq else solve_us
 
-        xs = _plant_rollout(
-            model, cfg, xs, U_prev,
-            jnp.asarray(prev_sim_time, dtype), jnp.asarray(sim_time, dtype),
-            max_substeps,
+        do_shift = not shifted and (
+            time_since_timestep + sim_time * 1e-6
+            > cfg.shift_threshold_fraction * cfg.timestep
         )
-        U_prev = U
-
         time_since_timestep += sim_time * 1e-6
-        if not shifted and time_since_timestep > (
-            cfg.shift_threshold_fraction * cfg.timestep
-        ):
-            rec.tracking_errors.append(float(_tracking_error(model, xs, goals[0])))
+        if do_shift:
             traj_offset += 1
-            X, U, goals, lam = _shift_horizon(
-                X, U, goals, lam, xu_traj_j, ee_traj_j,
-                jnp.asarray(traj_offset, jnp.int32),
-            )
             shifted = True
         if time_since_timestep > cfg.timestep:
             shifted = False
             time_since_timestep = float(np.fmod(time_since_timestep, cfg.timestep))
 
-        X = X.at[0].set(xs)  # measured-state re-injection (mpcsim.cuh:394)
+        U_post_solve = U  # xu_old snapshot precedes the shift (mpcsim.cuh:337)
+        xs, X, U, goals, lam, err = _mpc_update(
+            model, cfg, xs, X, U, goals, lam, U_prev, xu_traj_j, ee_traj_j,
+            traj_offset, prev_sim_time, sim_time, do_shift, max_substeps,
+        )
+        U_prev = U_post_solve
+        if do_shift:
+            rec.tracking_errors.append(float(err))
         prev_sim_time = sim_time
 
         # record stats
@@ -272,7 +290,9 @@ def simulate_mpc(
                 f"err {rec.tracking_errors[-1] if rec.tracking_errors else float('nan'):.4f}"
             )
 
-    rec.final_tracking_error = float(_tracking_error(model, xs, goals[0]))
+    rec.final_tracking_error = float(
+        jax.jit(_tracking_error)(model, xs, goals[0])
+    )
     rec.control_updates = rec.control_updates or len(rec.sqp_times_us)
     rec.timesteps = traj_offset
     return rec
