@@ -1,0 +1,139 @@
+"""Fused single-kernel PCG: the entire solve VMEM-resident.
+
+TPU counterpart of the reference's flagship design point -- GBD-PCG runs
+the whole preconditioned CG loop in ONE persistent cooperative CUDA kernel
+with grid syncs between stages (reference include/pcg/sqp.cuh:275,
+SURVEY.md C20).  Here the whole loop runs in one Pallas kernel: the banded
+system S, the stair preconditioner Pinv, and all CG vectors live in VMEM
+for the entire solve (N=512 horizon: 2 * 3 * 512 * 14 * 14 * 4 B ~= 2.4 MB,
+comfortably inside the ~16 MB VMEM), so each iteration touches no HBM at
+all.
+
+Layout: the knot axis lives in the 128-wide lane dimension and the
+14-wide state axis in sublanes -- band blocks are (s, s, N), vectors
+(s, N).  The block-tridiagonal SpMV is then s fused multiply-adds of
+(s, N) tiles per band, with the k+-1 halo realized as a lane roll; the
+zero edge blocks (lower[0], upper[N-1]) make circular wrap-around
+contributions vanish, so no masking is needed.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpcgpu_tpu.ops.btridiag import BlockTri
+
+
+def _band_spmv(L, D, U, x, s: int):
+    """y[:, k] = L_k x_{k-1} + D_k x_k + U_k x_{k+1} in (s, N) lane layout."""
+    n = x.shape[1]
+    xm = pltpu.roll(x, 1, axis=1)      # x_{k-1} into lane k (wraps; L[0] = 0)
+    xp = pltpu.roll(x, n - 1, axis=1)  # x_{k+1} into lane k (wraps; U[N-1] = 0)
+    acc = jnp.zeros_like(x)
+    for j in range(s):
+        acc += D[:, j, :] * x[j:j + 1, :]
+        acc += L[:, j, :] * xm[j:j + 1, :]
+        acc += U[:, j, :] * xp[j:j + 1, :]
+    return acc
+
+
+def _pcg_kernel(s: int, max_iter_ref, tol_ref,
+                sl_ref, sd_ref, su_ref, pl_ref, pd_ref, pu_ref,
+                gamma_ref, lam0_ref,
+                lam_out_ref, iters_ref, hit_ref):
+    SL, SD, SU = sl_ref[:], sd_ref[:], su_ref[:]
+    PL, PD, PU = pl_ref[:], pd_ref[:], pu_ref[:]
+    gamma = gamma_ref[:]
+    lam0 = lam0_ref[:]
+    max_iter = max_iter_ref[0]
+    tol = tol_ref[0]
+
+    r0 = gamma - _band_spmv(SL, SD, SU, lam0, s)
+    rt0 = _band_spmv(PL, PD, PU, r0, s)
+    eta0 = jnp.sum(r0 * rt0)
+
+    def cond(carry):
+        _, _, _, eta, i = carry
+        return jnp.logical_and(i < max_iter, jnp.abs(eta) > tol)
+
+    def body(carry):
+        lam, r, p, eta, i = carry
+        ups = _band_spmv(SL, SD, SU, p, s)
+        alpha = eta / jnp.sum(p * ups)
+        lam = lam + alpha * p
+        r = r - alpha * ups
+        rt = _band_spmv(PL, PD, PU, r, s)
+        eta_new = jnp.sum(r * rt)
+        p = rt + (eta_new / eta) * p
+        return lam, r, p, eta_new, i + 1
+
+    lam, r, p, eta, iters = jax.lax.while_loop(
+        cond, body, (lam0, r0, rt0, eta0, jnp.int32(0))
+    )
+    lam_out_ref[:] = lam
+    iters_ref[0] = iters
+    hit_ref[0] = (jnp.abs(eta) > tol).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter_cap", "interpret"))
+def pcg_pallas(S: BlockTri, Pinv: BlockTri, gamma, lam0, max_iter, exit_tol,
+               max_iter_cap: int = 0, interpret: bool = False):
+    """Solve S lam = gamma fully inside one Pallas kernel.
+
+    Returns (lam (N, s), iters int32, hit_max bool) like ops.pcg.pcg.
+    """
+    n, s = gamma.shape
+    f32 = gamma.dtype
+
+    to_lane = lambda b: jnp.transpose(b, (1, 2, 0))  # (N,s,s) -> (s,s,N)
+    vec = lambda v: jnp.transpose(v, (1, 0))         # (N,s)   -> (s,N)
+
+    args = (
+        to_lane(S.lower), to_lane(S.diag), to_lane(S.upper),
+        to_lane(Pinv.lower), to_lane(Pinv.diag), to_lane(Pinv.upper),
+        vec(gamma), vec(lam0),
+    )
+    smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    lam_t, iters, hit = pl.pallas_call(
+        functools.partial(_pcg_kernel, s),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, n), f32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=[smem_scalar, smem_scalar] + [vmem] * 8,
+        out_specs=(vmem, smem_scalar, smem_scalar),
+        interpret=interpret,
+    )(
+        jnp.asarray(max_iter, jnp.int32).reshape(1),
+        jnp.asarray(exit_tol, f32).reshape(1),
+        *args,
+    )
+    return jnp.transpose(lam_t, (1, 0)), iters[0], iters_hit_bool(hit)
+
+
+def iters_hit_bool(hit):
+    return hit[0].astype(bool)
+
+
+def register_backend(interpret: bool = False):
+    """Register the fused kernel as the 'pcg_pallas' linsys backend."""
+    from mpcgpu_tpu.sqp import register_linsys_backend
+
+    def solve(cfg, schur, lam, pcg_exit_tol):
+        lam_new, iters, hit = pcg_pallas(
+            schur.S, schur.Pinv, schur.gamma, lam,
+            cfg.pcg.max_iter, pcg_exit_tol, interpret=interpret,
+        )
+        return lam_new, iters, hit
+
+    register_linsys_backend("pcg_pallas", solve)
+
+
+register_backend()
