@@ -157,21 +157,29 @@ def bias_force(model: RobotModel, q, qd, gravity: float = 0.0):
 
 
 def mass_matrix(model: RobotModel, q):
-    """Composite-rigid-body algorithm; M(q) is (nj, nj) symmetric PD."""
+    """Composite-rigid-body algorithm; M(q) is (nj, nj) symmetric PD.
+
+    The classic per-(i, j) double loop is restructured as one backward
+    column sweep propagating all rows' composite forces at once -- O(nj)
+    batched matmuls instead of O(nj^2) scalar updates, which keeps the
+    XLA graph shallow (this runs inside every KKT and merit evaluation).
+    """
     nj = model.num_joints
     X = joint_transforms(model, q)
     Ic = [model.I[i] for i in range(nj)]
     for i in range(nj - 1, 0, -1):
         Ic[i - 1] = Ic[i - 1] + X[i].T @ Ic[i] @ X[i]
-    M = jnp.zeros((nj, nj), q.dtype)
-    for i in range(nj):
-        F = Ic[i][:, _EZ]
-        M = M.at[i, i].set(F[_EZ])
-        for j in range(i - 1, -1, -1):
-            F = X[j + 1].T @ F
-            M = M.at[i, j].set(F[_EZ])
-            M = M.at[j, i].set(F[_EZ])
-    return M
+    F = jnp.stack([Ic[i][:, _EZ] for i in range(nj)])  # row i: Ic_i S
+    diag = F[:, _EZ]
+    idx = jnp.arange(nj)
+    cols = [jnp.zeros(nj, q.dtype)] * nj
+    for j in range(nj - 1, 0, -1):
+        # f_i <- X_j' f_i, but only rows i >= j have entered the sweep;
+        # row i keeps its initial Ic_i S until j reaches i.
+        F = jnp.where((idx >= j)[:, None], F @ X[j], F)
+        cols[j - 1] = jnp.where(idx >= j, F[:, _EZ], 0.0)
+    L = jnp.stack(cols, axis=1)  # strictly-lower triangle of M
+    return L + L.T + jnp.diag(diag)
 
 
 def minv(model: RobotModel, q):
