@@ -183,22 +183,70 @@ def mass_matrix(model: RobotModel, q):
 
 
 def minv(model: RobotModel, q):
-    """M(q)^{-1} via Cholesky (the value GRiD's direct_minv_inner computes)."""
-    M = mass_matrix(model, q)
-    L = jax.scipy.linalg.cho_factor(M, lower=True)
-    return jax.scipy.linalg.cho_solve(L, jnp.eye(M.shape[0], dtype=q.dtype))
+    """M(q)^{-1} (the value GRiD's direct_minv_inner computes), via the
+    shallow block-recursive SPD inverse (ops/smallinv)."""
+    from mpcgpu_tpu.ops.smallinv import spd_inverse
+
+    return spd_inverse(mass_matrix(model, q))
 
 
 # ---------------------------------------------------------------------------
 # forward dynamics and its analytic gradient
 # ---------------------------------------------------------------------------
 
-def forward_dynamics(model: RobotModel, q, qd, u, gravity: float = 0.0):
+def forward_dynamics_crba(model: RobotModel, q, qd, u, gravity: float = 0.0):
     """qdd = M^{-1}(u - c(q, qd))  (reference forward_dynamics_finish :4379)."""
     c = bias_force(model, q, qd, gravity)
     M = mass_matrix(model, q)
     L = jax.scipy.linalg.cho_factor(M, lower=True)
     return jax.scipy.linalg.cho_solve(L, u - c)
+
+
+def forward_dynamics(model: RobotModel, q, qd, u, gravity: float = 0.0):
+    """Articulated-body algorithm: O(n) forward dynamics with no matrix
+    factorization -- only scalar divides by the articulated inertia d_i.
+
+    Same value as M^{-1}(u - c) (asserted in tests) but a much shallower
+    compute graph, which matters because this runs per knot inside every
+    line-search merit evaluation and every plant substep.
+    """
+    nj = model.num_joints
+    X = joint_transforms(model, q)
+
+    # pass 1 (outward): velocities, velocity-product accels, bias forces
+    v_prev = jnp.zeros(6, q.dtype)
+    v, cvel, pA = [], [], []
+    for i in range(nj):
+        vi = (X[i] @ v_prev).at[_EZ].add(qd[i])
+        Sqd = jnp.zeros(6, q.dtype).at[_EZ].set(qd[i])
+        v.append(vi)
+        cvel.append(crm(vi, Sqd))
+        pA.append(crf(vi, model.I[i] @ vi))
+        v_prev = vi
+
+    # pass 2 (inward): articulated inertias
+    IA = [model.I[i] for i in range(nj)]
+    Uc, dc, uc = [None] * nj, [None] * nj, [None] * nj
+    for i in range(nj - 1, -1, -1):
+        Ui = IA[i][:, _EZ]
+        di = Ui[_EZ]
+        ui = u[i] - pA[i][_EZ]
+        Uc[i], dc[i], uc[i] = Ui, di, ui
+        if i > 0:
+            Ia = IA[i] - jnp.outer(Ui, Ui) / di
+            pa = pA[i] + Ia @ cvel[i] + Ui * (ui / di)
+            IA[i - 1] = IA[i - 1] + X[i].T @ Ia @ X[i]
+            pA[i - 1] = pA[i - 1] + X[i].T @ pa
+
+    # pass 3 (outward): accelerations
+    a_prev = _grav_accel(gravity, q.dtype)
+    qdd = []
+    for i in range(nj):
+        ai = X[i] @ a_prev + cvel[i]
+        qdd_i = (uc[i] - Uc[i] @ ai) / dc[i]
+        qdd.append(qdd_i)
+        a_prev = ai.at[_EZ].add(qdd_i)
+    return jnp.stack(qdd)
 
 
 def fd_and_gradient(model: RobotModel, q, qd, u, gravity: float = 0.0):

@@ -43,11 +43,15 @@ from mpcgpu_tpu.ops.kkt import KKTData
 
 
 def _chol_inverse(mats: jnp.ndarray) -> jnp.ndarray:
-    """Batched SPD inverse via Cholesky: (N, s, s) -> (N, s, s)."""
-    s = mats.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(s, dtype=mats.dtype), mats.shape)
-    chol = jax.vmap(lambda m: jax.scipy.linalg.cho_factor(m, lower=True)[0])(mats)
-    return jax.vmap(lambda L, e: jax.scipy.linalg.cho_solve((L, True), e))(chol, eye)
+    """Batched SPD inverse: block-recursive closed form (see ops/smallinv).
+
+    Replaces the reference's in-smem Gauss-Jordan (utils/matrix.cuh:122-238);
+    XLA's Cholesky lowers to deep loops at these sizes, while the block
+    recursion is a handful of batched matmuls.
+    """
+    from mpcgpu_tpu.ops.smallinv import spd_inverse
+
+    return spd_inverse(mats)
 
 
 class SchurData(NamedTuple):

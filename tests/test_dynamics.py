@@ -86,7 +86,9 @@ def test_fd_gradient_vs_autodiff(iiwa):
     qdd, dq, dqd, Mi = dyn.fd_and_gradient(iiwa, q, qd, u)
 
     fd = lambda qq, qqd, uu: dyn.forward_dynamics(iiwa, qq, qqd, uu)
-    np.testing.assert_allclose(np.asarray(qdd), np.asarray(fd(q, qd, u)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(qdd), np.asarray(fd(q, qd, u)), rtol=1e-4, atol=1e-4
+    )
     np.testing.assert_allclose(
         np.asarray(dq), np.asarray(jax.jacfwd(fd, 0)(q, qd, u)), rtol=3e-3, atol=3e-3
     )
@@ -105,3 +107,15 @@ def test_vmap_over_knots(iiwa):
     assert ee.shape == (16, 6)
     M = jax.vmap(lambda q: dyn.mass_matrix(iiwa, q))(Q)
     assert M.shape == (16, 7, 7)
+
+
+def test_aba_matches_crba_forward_dynamics(iiwa):
+    """The articulated-body algorithm must equal M^{-1}(u - c)."""
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        q, qd, u = _rand_q(rng), _rand_q(rng, scale=1.0), _rand_q(rng, scale=10.0)
+        qdd_aba = dyn.forward_dynamics(iiwa, q, qd, u)
+        qdd_crba = dyn.forward_dynamics_crba(iiwa, q, qd, u)
+        np.testing.assert_allclose(
+            np.asarray(qdd_aba), np.asarray(qdd_crba), rtol=2e-3, atol=2e-3
+        )
