@@ -1,13 +1,15 @@
 #!/usr/bin/env python3
-"""Headline benchmark: closed-loop MPC solve latency on one TPU chip.
+"""Headline benchmark: device-resident closed-loop MPC at N=64 on one chip.
 
 Runs the reference's flagship configuration -- IIWA-14 figure-eight
 tracking with the full SQP-PCG solver in the loop at N=64 knots
-(reference examples/track_iiwa_pcg.cu + include/mpcsim.cuh) -- on real
-hardware and reports the median per-update SQP solve latency.  The
-reference must fit each solve into a 2000 us real-time control budget
+(reference examples/track_iiwa_pcg.cu + include/mpcsim.cuh) -- as ONE
+XLA program (lax.scan over control updates, everything device-resident)
+and reports the per-control-update latency.  The reference must fit each
+update into a 2000 us real-time budget at 500 Hz
 (reference include/common/settings.cuh:76-78,173-175); vs_baseline is
-that budget divided by our latency (>1 = faster than real-time).
+that budget divided by our per-update latency (>1 = faster than
+real-time).
 
 Prints ONE JSON line.
 """
@@ -15,55 +17,81 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 from pathlib import Path
 
 import numpy as np
 
 
 def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
     from mpcgpu_tpu.config import SolverConfig
     from mpcgpu_tpu.models.robot import iiwa14
-    from mpcgpu_tpu.sim import simulate_mpc
-    from mpcgpu_tpu.utils.trajfiles import load_fixture_pair
-
-    import jax
+    from mpcgpu_tpu.ops.pallas import pcg_kernel  # noqa: F401 (registers backend)
+    from mpcgpu_tpu.sim import simulate_mpc_scan
+    from mpcgpu_tpu.sqp import sqp_solve
+    from mpcgpu_tpu.utils.trajfiles import load_fixture_pair, horizon_slices
 
     n = 64
     budget_us = 2000.0
-    timesteps = 32           # ~0.5 s of tracking ≈ 256 control updates
+    n_updates = 256          # ~0.5 s of tracking at 500 Hz
+    linsys = "pcg_pallas"
 
     fixtures = Path(__file__).resolve().parent / "tests" / "fixtures"
     xu, ee = load_fixture_pair(fixtures, 0, 0)
     model = iiwa14()
     cfg = SolverConfig.for_knots(n, sqp_max_iter=4)
 
-    rec = simulate_mpc(
-        model, cfg, xu, ee,
-        pcg_exit_tol=5e-5,               # reference N=64 tuned tolerance
-        warmup_iters=20,
-        max_timesteps=timesteps,
-        max_control_updates=timesteps * 16,
-    )
-    s = rec.summary()
-    value = s["p50_sqp_time_us"]
+    X, U, goals, xs = horizon_slices(xu, ee, n)
+    X = jnp.asarray(X); U = jnp.asarray(U)
+    xu_j = jnp.asarray(xu); ee_j = jnp.asarray(ee)
+    lam = jnp.zeros((n, 14), jnp.float32)
+    rho = jnp.asarray(1e-3, jnp.float32)
+    tol = 5e-5               # reference N=64 tuned tolerance
 
+    # warm-up: a few chained solves to warm-start lam (REMOVE_JITTERS)
+    res = sqp_solve(model, cfg, X, U, lam, jnp.asarray(ee[:n]), jnp.asarray(xs),
+                    rho, 1e-11, linsys)
+    for _ in range(4):
+        res = sqp_solve(model, cfg, X, U, res.lam, jnp.asarray(ee[:n]),
+                        jnp.asarray(xs), res.rho, 1e-11, linsys)
+    lam, rho = res.lam, jnp.asarray(1e-3, jnp.float32)
+
+    # compile + correctness pass
+    out = simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam, rho, tol,
+                            n_updates, linsys)
+    errs = np.asarray(out["tracking_errors"])
+    shifted = np.asarray(out["shifted"])
+
+    # timed pass: one dispatch, hard-synced by the result fetch
+    t0 = time.perf_counter()
+    out = simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam, rho, tol,
+                            n_updates, linsys)
+    _ = np.asarray(out["tracking_errors"])
+    wall_us = (time.perf_counter() - t0) * 1e6
+    per_update = wall_us / n_updates
+
+    te = errs[shifted]
     print(
         json.dumps(
             {
-                "metric": f"iiwa_mpc_closed_loop_sqp_solve_latency_n{n}",
-                "value": round(value, 1),
+                "metric": f"iiwa_mpc_closed_loop_update_latency_n{n}",
+                "value": round(per_update, 1),
                 "unit": "us",
-                "vs_baseline": round(budget_us / value, 3),
+                "vs_baseline": round(budget_us / per_update, 3),
                 "detail": {
                     "device": str(jax.devices()[0]),
-                    "avg_sqp_time_us": round(s["avg_sqp_time_us"], 1),
-                    "p95_sqp_time_us": round(s["p95_sqp_time_us"], 1),
-                    "avg_tracking_error_m": round(s["avg_tracking_error"], 4),
-                    "final_tracking_error_m": round(s["final_tracking_error"], 4),
-                    "avg_pcg_iters": round(s["avg_pcg_iters"], 2),
-                    "pcg_max_exit_rate": round(s["pcg_max_exit_rate"], 4),
-                    "control_updates": s["control_updates"],
-                    "timesteps": s["timesteps"],
+                    "linsys": linsys,
+                    "n_updates": n_updates,
+                    "wall_us_total": round(wall_us, 0),
+                    "avg_tracking_error_m": round(float(te.mean()), 4),
+                    "max_tracking_error_m": round(float(te.max()), 4),
+                    "avg_sqp_iters": round(float(np.asarray(out["sqp_iters"]).mean()), 2),
+                    "avg_pcg_iters_per_update": round(
+                        float(np.asarray(out["pcg_iters_total"]).mean()), 1
+                    ),
                     "budget_us": budget_us,
                 },
             }

@@ -296,3 +296,98 @@ def simulate_mpc(
     rec.control_updates = rec.control_updates or len(rec.sqp_times_us)
     rec.timesteps = traj_offset
     return rec
+
+
+# ---------------------------------------------------------------------------
+# Device-resident closed loop: the whole tracking run as ONE XLA program.
+# ---------------------------------------------------------------------------
+
+def make_shift_schedule(cfg: SolverConfig, n_updates: int):
+    """Precompute the (deterministic, constant-period) shift pattern.
+
+    Replays the reference's host-side clock logic (mpcsim.cuh:340-393) for
+    CONST_UPDATE_FREQ mode: returns (do_shift bool (n_updates,),
+    traj_offset int32 (n_updates,)) where traj_offset is the
+    already-incremented trajectory index at each update.
+    """
+    do_shift = np.zeros(n_updates, bool)
+    offsets = np.zeros(n_updates, np.int32)
+    t_since, shifted, off = 0.0, False, 0
+    thresh = cfg.shift_threshold_fraction * cfg.timestep
+    for i in range(n_updates):
+        step = cfg.simulation_period_us * 1e-6
+        if not shifted and t_since + step > thresh:
+            off += 1
+            do_shift[i] = True
+            shifted = True
+        t_since += step
+        if t_since > cfg.timestep:
+            shifted = False
+            t_since = float(np.fmod(t_since, cfg.timestep))
+        offsets[i] = off
+    return jnp.asarray(do_shift), jnp.asarray(offsets)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_updates", "linsys"))
+def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
+                      X, U, lam, rho, pcg_exit_tol, n_updates: int,
+                      linsys: str = "pcg"):
+    """Closed-loop tracking entirely on device: a lax.scan over control
+    updates (solve -> plant rollout -> optional shift -> re-injection),
+    with per-update statistics accumulated as scan outputs.
+
+    One dispatch for the whole run -- the TPU-native shape of the
+    reference's host loop (mpcsim.cuh:286-451), and the configuration for
+    throughput/latency measurement where no host round-trip separates
+    control updates.  Constant-update-period mode only (the shift schedule
+    must be precomputable).
+    """
+    n = cfg.knot_points
+    do_shift, offsets = make_shift_schedule(cfg, n_updates)
+    goals0 = jax.lax.dynamic_slice_in_dim(ee_traj, 0, n, axis=0)
+    xs0 = X[0]
+    max_substeps = max(
+        1, int(np.ceil(cfg.simulation_period_us * 1e-6 / cfg.sim_step_time)) + 1
+    )
+    period = cfg.simulation_period_us
+
+    def body(carry, inputs):
+        xs, X, U, goals, lam, rho, U_prev, first = carry
+        shift_now, off = inputs
+
+        res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho,
+                        pcg_exit_tol, linsys)
+        X, U, lam, rho = res.X, res.U, res.lam, res.rho
+
+        offset_us = jnp.where(first, 0.0, period)
+        xs = _plant_rollout(model, cfg, xs, U_prev,
+                            jnp.asarray(offset_us, X.dtype),
+                            jnp.asarray(period, X.dtype), max_substeps)
+        err = _tracking_error(model, xs, goals[0])
+        U_prev = U  # pre-shift plan snapshot (mpcsim.cuh:337)
+
+        Xs, Us, Gs, Ls = _shift_horizon(X, U, goals, lam, xu_traj, ee_traj,
+                                        off)
+        sel = lambda a, b: jnp.where(shift_now, a, b)
+        X, U, goals, lam = sel(Xs, X), sel(Us, U), sel(Gs, goals), sel(Ls, lam)
+        X = X.at[0].set(xs)
+
+        out = (err, shift_now, res.stats.sqp_iters,
+               jnp.sum(jnp.where(res.stats.pcg_iters >= 0,
+                                 res.stats.pcg_iters, 0)),
+               jnp.sum(res.stats.pcg_hit_max), res.stats.rho_bailed, xs)
+        return (xs, X, U, goals, lam, rho, U_prev, jnp.bool_(False)), out
+
+    init = (xs0, X, U, goals0, lam, rho, U, jnp.bool_(True))
+    carry, outs = jax.lax.scan(body, init, (do_shift, offsets))
+    errs, shifted, sqp_iters, pcg_iters, pcg_hits, bails, path = outs
+    return {
+        "tracking_errors": errs,
+        "shifted": shifted,
+        "sqp_iters": sqp_iters,
+        "pcg_iters_total": pcg_iters,
+        "pcg_hit_max_total": pcg_hits,
+        "rho_bailed": bails,
+        "tracking_path": path,
+        "final_xs": carry[0],
+    }

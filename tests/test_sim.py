@@ -55,3 +55,32 @@ def test_gauss_newton_hessian_improves_tracking(iiwa, fixtures_dir):
     a_ref = rec_ref.summary()["avg_tracking_error"]
     a_gn = rec_gn.summary()["avg_tracking_error"]
     assert a_gn < a_ref * 1.2, (a_gn, a_ref)
+
+
+@pytest.mark.slow
+def test_scan_loop_matches_host_loop(iiwa, fixtures_dir):
+    """The device-resident scanned loop must reproduce the host loop's
+    closed-loop behavior (same shift schedule, same tracking errors)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpcgpu_tpu.sim import simulate_mpc_scan
+
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
+    cfg = SolverConfig.for_knots(16, sqp_max_iter=3)
+    n_updates = 50
+
+    rec = simulate_mpc(
+        iiwa, cfg, xu, ee, pcg_exit_tol=1e-5, warmup_iters=0,
+        max_control_updates=n_updates, max_timesteps=10**6,
+    )
+    out = simulate_mpc_scan(
+        iiwa, cfg, jnp.asarray(xu), jnp.asarray(ee),
+        jnp.asarray(xu[:16, :14]), jnp.asarray(xu[:15, 14:]),
+        jnp.zeros((16, 14), jnp.float32), jnp.asarray(1e-3, jnp.float32),
+        1e-5, n_updates,
+    )
+    errs_scan = np.asarray(out["tracking_errors"])[np.asarray(out["shifted"])]
+    errs_host = np.asarray(rec.tracking_errors)
+    assert errs_scan.shape == errs_host.shape
+    np.testing.assert_allclose(errs_scan, errs_host, rtol=2e-2, atol=2e-3)
