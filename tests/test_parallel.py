@@ -1,0 +1,57 @@
+"""Horizon sharding over the virtual 8-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpcgpu_tpu.ops import btridiag
+from mpcgpu_tpu.ops.pcg import pcg
+from mpcgpu_tpu.ops.schur import form_schur
+from tests.test_schur_pcg import NX, RHO, random_kkt
+
+N_SHARD = 16  # divisible by 8 devices
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from mpcgpu_tpu.parallel.sharded import horizon_mesh
+
+    assert len(jax.devices()) == 8
+    return horizon_mesh()
+
+
+def test_pcg_sharded_matches_single_device(mesh):
+    from mpcgpu_tpu.parallel.pcg_sharded import pcg_sharded
+
+    kkt = random_kkt(seed=21, n=N_SHARD)
+    sd = form_schur(kkt, RHO)
+    lam0 = jnp.zeros((N_SHARD, NX), jnp.float32)
+
+    ref = pcg(sd.S, sd.Pinv, sd.gamma, lam0, max_iter=400, exit_tol=1e-10)
+    lam, iters, hit = pcg_sharded(mesh, sd.S, sd.Pinv, sd.gamma, lam0,
+                                  400, 1e-10)
+    dense = np.asarray(btridiag.to_dense(sd.S), np.float64)
+    x_ref = np.linalg.solve(dense, np.asarray(sd.gamma, np.float64).reshape(-1))
+    np.testing.assert_allclose(
+        np.asarray(lam).reshape(-1), x_ref, rtol=5e-3, atol=5e-3
+    )
+    assert not bool(hit)
+    assert abs(int(iters) - int(ref.iters)) <= 3
+
+
+def test_sharded_sqp_solve_runs(mesh, iiwa, traj_0_0):
+    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.parallel.sharded import sharded_sqp_solve
+
+    xu, ee = traj_0_0
+    n = 16
+    cfg = SolverConfig.for_knots(n, sqp_max_iter=2)
+    X = jnp.asarray(xu[:n, :14]); U = jnp.asarray(xu[:n - 1, 14:])
+    goals = jnp.asarray(ee[:n]); xs = X[0]
+    lam = jnp.zeros((n, 14), jnp.float32)
+
+    res = sharded_sqp_solve(iiwa, cfg, mesh, X, U, lam, goals, xs,
+                            jnp.asarray(1e-3, jnp.float32),
+                            jnp.asarray(1e-6, jnp.float32))
+    assert np.isfinite(np.asarray(res.X)).all()
+    assert np.isfinite(float(res.stats.final_merit))
