@@ -108,7 +108,6 @@ def pcg_sharded(mesh: Mesh, S: BlockTri, Pinv: BlockTri, gamma, lam0,
         mesh=mesh,
         in_specs=(P(),) + (spec_b,) * 6 + (spec_v,) * 2,
         out_specs=(spec_v, P(), P()),
-        check_rep=False,
     )
     lam, iters, hit = fn(
         jnp.asarray(exit_tol, gamma.dtype),
