@@ -202,3 +202,95 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
         rho_bailed=st.rho_bailed, final_merit=st.merit,
     )
     return SQPResult(X=st.X, U=st.U, lam=st.lam, rho=st.rho, stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# Wall-clock time-boxed mode (reference CONST_UPDATE_FREQ semantics)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "linsys"))
+def sqp_iteration(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
+                  rho, drho, merit, pcg_exit_tol, linsys: str = "pcg"):
+    """One SQP iteration as a standalone jitted step (for the time-boxed
+    host loop).  Same body as the fused solve's loop."""
+    solve_fn = _LINSYS_BACKENDS[linsys]
+    alphas = (1.0 / 2 ** jnp.arange(cfg.num_alphas)).astype(X.dtype)
+
+    kkt = form_kkt(
+        model, X, U, goals, xs, cfg.timestep, cfg.cost.qd_cost,
+        cfg.cost.r_cost, cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
+    )
+    schur = form_schur(kkt, rho, preconditioned=cfg.pcg.preconditioned)
+    lam_new, pcg_it, hit_max = solve_fn(cfg, schur, lam, pcg_exit_tol)
+    dX, dU = compute_dz(kkt, schur, lam_new)
+
+    merits = merit_ops.line_search_merits(
+        model, X, U, dX, dU, alphas, goals, xs, cfg.timestep, cfg.merit_mu,
+        cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type, cfg.gravity,
+    )
+    best = jnp.argmin(merits)
+    best_merit = merits[best]
+    accept = best_merit < merit
+    alpha = alphas[best]
+
+    f = jnp.asarray(cfg.rho_factor, rho.dtype)
+    drho_new = jnp.where(accept, jnp.minimum(drho / f, 1.0 / f),
+                         jnp.maximum(drho * f, f))
+    rho_new = jnp.maximum(rho * drho_new, cfg.rho_min)
+    bail = jnp.logical_and(jnp.logical_not(accept), rho_new > cfg.rho_max)
+    rho_new = jnp.where(bail, cfg.rho_reset, rho_new)
+
+    X_new = jnp.where(accept, X + alpha * dX, X)
+    U_new = jnp.where(accept, U + alpha * dU, U)
+    merit_new = jnp.where(accept, best_merit, merit)
+    return (X_new, U_new, lam_new, rho_new, drho_new, merit_new,
+            accept, bail, pcg_it, hit_max)
+
+
+def sqp_solve_timeboxed(model: RobotModel, cfg: SolverConfig, X, U, lam,
+                        goals, xs, rho, pcg_exit_tol,
+                        max_time_us: float = 2000.0, linsys: str = "pcg"):
+    """Anytime SQP under a hard wall-clock budget.
+
+    Parity mode for the reference's SQP_MAX_TIME_US time box
+    (pcg/sqp.cuh:176-184, checked between phases): runs jitted single
+    iterations from the host, stopping when the budget is exhausted or on
+    rho bail-out.  The fused `sqp_solve` with a calibrated iteration
+    budget is the production path; this mode exists for wall-clock parity
+    experiments.
+    """
+    import time as _time
+
+    t0 = _time.perf_counter()
+    merit0 = merit_ops.merit(
+        model, X, U, goals, xs, cfg.timestep, cfg.merit_mu,
+        cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type, cfg.gravity,
+    )
+    drho = jnp.asarray(1.0, X.dtype)
+    rho = jnp.asarray(rho, X.dtype)
+    merit = merit0
+    iters = 0
+    pcg_iters, pcg_hits, accepted = [], [], []
+    bailed = False
+    while iters < cfg.sqp_max_iter:
+        if (_time.perf_counter() - t0) * 1e6 > max_time_us:
+            break
+        out = sqp_iteration(model, cfg, X, U, lam, goals, xs, rho, drho,
+                            merit, pcg_exit_tol, linsys)
+        jax.block_until_ready(out[0])
+        (X, U, lam, rho, drho, merit, accept, bail, pcg_it, hit) = out
+        iters += 1
+        pcg_iters.append(int(pcg_it))
+        pcg_hits.append(bool(hit))
+        accepted.append(bool(accept))
+        if bool(bail):
+            bailed = True
+            break
+    stats = SQPStats(
+        pcg_iters=jnp.asarray(pcg_iters + [-1] * (cfg.sqp_max_iter - len(pcg_iters))),
+        pcg_hit_max=jnp.asarray(pcg_hits + [False] * (cfg.sqp_max_iter - len(pcg_hits))),
+        accepted=jnp.asarray(accepted + [False] * (cfg.sqp_max_iter - len(accepted))),
+        sqp_iters=jnp.int32(iters), rho_bailed=jnp.bool_(bailed),
+        final_merit=merit,
+    )
+    return SQPResult(X=X, U=U, lam=lam, rho=rho, stats=stats)
