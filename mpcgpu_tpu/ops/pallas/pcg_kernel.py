@@ -28,32 +28,34 @@ from jax.experimental.pallas import tpu as pltpu
 from mpcgpu_tpu.ops.btridiag import BlockTri
 
 
-def _band_spmv(L, D, U, x, s: int):
-    """y[:, k] = L_k x_{k-1} + D_k x_k + U_k x_{k+1} in (s, N) lane layout."""
+def _band_spmv(B, x):
+    """y[:, k] = L_k x_{k-1} + D_k x_k + U_k x_{k+1} in (s, N) lane layout.
+
+    B is the precomputed (s, 3s, N) concatenation [L | D | U]; the matvec
+    is one fused elementwise product + a sublane-direction reduction over
+    the 3s contraction axis.  The halos are lane rolls; the zero edge
+    blocks absorb the circular wrap-around.
+    """
     n = x.shape[1]
     xm = pltpu.roll(x, 1, axis=1)      # x_{k-1} into lane k (wraps; L[0] = 0)
     xp = pltpu.roll(x, n - 1, axis=1)  # x_{k+1} into lane k (wraps; U[N-1] = 0)
-    acc = jnp.zeros_like(x)
-    for j in range(s):
-        acc += D[:, j, :] * x[j:j + 1, :]
-        acc += L[:, j, :] * xm[j:j + 1, :]
-        acc += U[:, j, :] * xp[j:j + 1, :]
-    return acc
+    xc = jnp.concatenate([xm, x, xp], axis=0)       # (3s, N)
+    return jnp.sum(B * xc[None, :, :], axis=1)      # (s, N)
 
 
 def _pcg_kernel(s: int, max_iter_ref, tol_ref,
                 sl_ref, sd_ref, su_ref, pl_ref, pd_ref, pu_ref,
                 gamma_ref, lam0_ref,
                 lam_out_ref, iters_ref, hit_ref):
-    SL, SD, SU = sl_ref[:], sd_ref[:], su_ref[:]
-    PL, PD, PU = pl_ref[:], pd_ref[:], pu_ref[:]
+    SB = jnp.concatenate([sl_ref[:], sd_ref[:], su_ref[:]], axis=1)
+    PB = jnp.concatenate([pl_ref[:], pd_ref[:], pu_ref[:]], axis=1)
     gamma = gamma_ref[:]
     lam0 = lam0_ref[:]
     max_iter = max_iter_ref[0]
     tol = tol_ref[0]
 
-    r0 = gamma - _band_spmv(SL, SD, SU, lam0, s)
-    rt0 = _band_spmv(PL, PD, PU, r0, s)
+    r0 = gamma - _band_spmv(SB, lam0)
+    rt0 = _band_spmv(PB, r0)
     eta0 = jnp.sum(r0 * rt0)
 
     def cond(carry):
@@ -62,11 +64,11 @@ def _pcg_kernel(s: int, max_iter_ref, tol_ref,
 
     def body(carry):
         lam, r, p, eta, i = carry
-        ups = _band_spmv(SL, SD, SU, p, s)
+        ups = _band_spmv(SB, p)
         alpha = eta / jnp.sum(p * ups)
         lam = lam + alpha * p
         r = r - alpha * ups
-        rt = _band_spmv(PL, PD, PU, r, s)
+        rt = _band_spmv(PB, r)
         eta_new = jnp.sum(r * rt)
         p = rt + (eta_new / eta) * p
         return lam, r, p, eta_new, i + 1
