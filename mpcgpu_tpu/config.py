@@ -79,6 +79,10 @@ class SolverConfig:
 
     gravity: float = 0.0                # gato_plant::GRAVITY (iiwa_eepos_plant.cuh:51)
 
+    # Use the fused Pallas stage kernels (lane-batched dynamics) inside the
+    # SQP loop instead of the portable vmapped XLA implementations.
+    pallas_stages: bool = False
+
     @property
     def nx(self) -> int:
         return self.state_size

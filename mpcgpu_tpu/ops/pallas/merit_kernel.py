@@ -1,0 +1,120 @@
+"""Fused line-search merit evaluation: one Pallas kernel for all candidates.
+
+The reference evaluates its 8 line-search candidates as 8 cooperative
+kernels on 8 CUDA streams (reference include/pcg/sqp.cuh:327-344, kernel
+include/common/merit.cuh:19-94).  The XLA version (ops/merit.py) vmaps
+the candidates but still lowers to thousands of individually scheduled
+small ops -- the dominant cost of an SQP iteration on TPU.  Here the
+whole evaluation (tracking cost with end-effector FK, forward dynamics
+via the articulated-body algorithm, L1 defects, initial-state violation)
+runs as ONE kernel over a lane batch of A*N (candidate, knot) pairs using
+the lane-batched dynamics in ops/pallas/lanedyn.py.
+
+Batch order is candidate-major (b = a*N + k), so the x_{k+1} neighbor for
+the defect is a single lane roll; the k = N-1 lanes are masked out.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpcgpu_tpu.models.robot import RobotModel
+from mpcgpu_tpu.ops.pallas import lanedyn
+
+
+def _merit_kernel(nq: int, dt: float, mu: float, qd_cost: float,
+                  r_cost: float, integrator_type: int, gravity: float,
+                  xc_ref, uc_ref, goals_ref, xs_ref, msk_last_ref, msk0_ref,
+                  hx_c, hx_s, hx_k, xx_c, xx_s, xx_k, i_ref,
+                  out_ref):
+    Xc = xc_ref[:]                      # (nx, B) candidate states
+    Uc = uc_ref[:]                      # (nu, B) candidate controls
+    goals = goals_ref[:]                # (3, B)
+    xs = xs_ref[:]                      # (nx, 1)
+    m_last = msk_last_ref[:]            # (1, B): 0 at k = N-1 lanes
+    m0 = msk0_ref[:]                    # (1, B): 1 at k = 0 lanes
+
+    q, qd = Xc[:nq], Xc[nq:]
+
+    # tracking cost (iiwa_eepos_plant.cuh:242-290)
+    ee = lanedyn.fk_ee_xyz((hx_c[:], hx_s[:], hx_k[:]), q)
+    err = ee - goals
+    cost = 0.5 * jnp.sum(err * err, axis=0, keepdims=True)
+    cost += 0.5 * qd_cost * jnp.sum(qd * qd, axis=0, keepdims=True)
+    cost += m_last * 0.5 * r_cost * jnp.sum(Uc * Uc, axis=0, keepdims=True)
+
+    # dynamics defect (integrator.cuh:24-57 with ABA forward dynamics)
+    qdd = lanedyn.aba_qdd((xx_c[:], xx_s[:], xx_k[:]), i_ref[:], q, qd, Uc,
+                          gravity)
+    if integrator_type == 0:
+        qn = q + dt * qd
+        qdn = qd + dt * qdd
+    else:
+        qdn = qd + dt * qdd
+        qn = q + dt * qdn
+    f = jnp.concatenate([qn, qdn], axis=0)
+    x_next = pltpu.roll(Xc, Xc.shape[1] - 1, axis=1)  # lane b+1 -> b
+    defect = jnp.sum(jnp.abs(x_next - f), axis=0, keepdims=True) * m_last
+
+    # initial-state violation (merit.cuh:69-77)
+    c0 = jnp.sum(jnp.abs(Xc - xs), axis=0, keepdims=True) * m0
+
+    out_ref[:] = cost + mu * (defect + c0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_alphas", "dt", "mu", "qd_cost", "r_cost",
+                     "integrator_type", "gravity", "interpret"),
+)
+def line_search_merits_pallas(model: RobotModel, X, U, dX, dU, num_alphas: int,
+                              goals, xs, dt: float, mu: float, qd_cost: float,
+                              r_cost: float, integrator_type: int = 0,
+                              gravity: float = 0.0, interpret: bool = None):
+    """Merits of (X + a dX, U + a dU) for a = 1/2^i, i < num_alphas,
+    plus the merit of the unstepped (X, U) appended as the last entry."""
+    if interpret is None:  # run interpreted off-TPU (tests on CPU)
+        interpret = jax.default_backend() != "tpu"
+    n, nx = X.shape
+    nu = U.shape[1]
+    nq = nx // 2
+    alphas = jnp.concatenate(
+        [(1.0 / 2 ** jnp.arange(num_alphas)).astype(X.dtype),
+         jnp.zeros((1,), X.dtype)]
+    )
+    A = num_alphas + 1
+
+    Upad = jnp.concatenate([U, jnp.zeros((1, nu), U.dtype)])
+    dUpad = jnp.concatenate([dU, jnp.zeros((1, nu), U.dtype)])
+
+    # candidate-major lane batch: b = a*N + k
+    Xc = (X[None] + alphas[:, None, None] * dX[None])       # (A, N, nx)
+    Uc = (Upad[None] + alphas[:, None, None] * dUpad[None])
+    Xc = Xc.transpose(2, 0, 1).reshape(nx, A * n)
+    Uc = Uc.transpose(2, 0, 1).reshape(nu, A * n)
+    goals_rep = jnp.tile(goals[:, :3].T, (1, A))
+
+    k_idx = jnp.tile(jnp.arange(n), (A,))
+    m_last = (k_idx < n - 1).astype(X.dtype)[None, :]
+    m0 = (k_idx == 0).astype(X.dtype)[None, :]
+
+    kern = functools.partial(
+        _merit_kernel, nq, float(dt), float(mu), float(qd_cost),
+        float(r_cost), int(integrator_type), float(gravity),
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    contrib = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((1, A * n), X.dtype),
+        in_specs=[vmem] * 13,
+        out_specs=vmem,
+        interpret=interpret,
+    )(
+        Xc, Uc, goals_rep, xs[:, None], m_last, m0,
+        model.Hc, model.Hs, model.Hk, model.Xc, model.Xs, model.Xk, model.I,
+    )
+    return contrib.reshape(A, n).sum(axis=1)  # (A,): candidates + base merit

@@ -28,34 +28,37 @@ from jax.experimental.pallas import tpu as pltpu
 from mpcgpu_tpu.ops.btridiag import BlockTri
 
 
-def _band_spmv(B, x):
+def _band_spmv(L, D, U, x):
     """y[:, k] = L_k x_{k-1} + D_k x_k + U_k x_{k+1} in (s, N) lane layout.
 
-    B is the precomputed (s, 3s, N) concatenation [L | D | U]; the matvec
-    is one fused elementwise product + a sublane-direction reduction over
-    the 3s contraction axis.  The halos are lane rolls; the zero edge
-    blocks absorb the circular wrap-around.
+    Per band: one fused (s, s, N) elementwise product + a sublane-direction
+    reduction over the contraction axis (Mosaic rejects concatenating the
+    rolled operands, so the three bands reduce separately).  Halos are lane
+    rolls; the zero edge blocks absorb the circular wrap-around.
     """
     n = x.shape[1]
     xm = pltpu.roll(x, 1, axis=1)      # x_{k-1} into lane k (wraps; L[0] = 0)
     xp = pltpu.roll(x, n - 1, axis=1)  # x_{k+1} into lane k (wraps; U[N-1] = 0)
-    xc = jnp.concatenate([xm, x, xp], axis=0)       # (3s, N)
-    return jnp.sum(B * xc[None, :, :], axis=1)      # (s, N)
+    return (
+        jnp.sum(D * x[None, :, :], axis=1)
+        + jnp.sum(L * xm[None, :, :], axis=1)
+        + jnp.sum(U * xp[None, :, :], axis=1)
+    )
 
 
 def _pcg_kernel(s: int, max_iter_ref, tol_ref,
                 sl_ref, sd_ref, su_ref, pl_ref, pd_ref, pu_ref,
                 gamma_ref, lam0_ref,
                 lam_out_ref, iters_ref, hit_ref):
-    SB = jnp.concatenate([sl_ref[:], sd_ref[:], su_ref[:]], axis=1)
-    PB = jnp.concatenate([pl_ref[:], pd_ref[:], pu_ref[:]], axis=1)
+    SL, SD, SU = sl_ref[:], sd_ref[:], su_ref[:]
+    PL, PD, PU = pl_ref[:], pd_ref[:], pu_ref[:]
     gamma = gamma_ref[:]
     lam0 = lam0_ref[:]
     max_iter = max_iter_ref[0]
     tol = tol_ref[0]
 
-    r0 = gamma - _band_spmv(SB, lam0)
-    rt0 = _band_spmv(PB, r0)
+    r0 = gamma - _band_spmv(SL, SD, SU, lam0)
+    rt0 = _band_spmv(PL, PD, PU, r0)
     eta0 = jnp.sum(r0 * rt0)
 
     def cond(carry):
@@ -64,11 +67,11 @@ def _pcg_kernel(s: int, max_iter_ref, tol_ref,
 
     def body(carry):
         lam, r, p, eta, i = carry
-        ups = _band_spmv(SB, p)
+        ups = _band_spmv(SL, SD, SU, p)
         alpha = eta / jnp.sum(p * ups)
         lam = lam + alpha * p
         r = r - alpha * ups
-        rt = _band_spmv(PB, r)
+        rt = _band_spmv(PL, PD, PU, r)
         eta_new = jnp.sum(r * rt)
         p = rt + (eta_new / eta) * p
         return lam, r, p, eta_new, i + 1

@@ -130,11 +130,38 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
     n_iter = cfg.sqp_max_iter
     alphas = (1.0 / 2 ** jnp.arange(cfg.num_alphas)).astype(X.dtype)
 
-    def merit_of(Xc, Uc):
-        return merit_ops.merit(
-            model, Xc, Uc, goals, xs, cfg.timestep, cfg.merit_mu,
-            cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type, cfg.gravity,
-        )
+    if cfg.pallas_stages:
+        from mpcgpu_tpu.ops.pallas.merit_kernel import line_search_merits_pallas
+
+        def eval_merits(Xc, Uc, dX, dU):
+            return line_search_merits_pallas(
+                model, Xc, Uc, dX, dU, cfg.num_alphas, goals, xs,
+                cfg.timestep, cfg.merit_mu, cfg.cost.qd_cost, cfg.cost.r_cost,
+                cfg.integrator_type, cfg.gravity,
+            )[: cfg.num_alphas]
+
+        def merit_of(Xc, Uc):
+            z = jnp.zeros_like(Xc)
+            zu = jnp.zeros_like(U)
+            return line_search_merits_pallas(
+                model, Xc, Uc, z, zu, cfg.num_alphas, goals, xs,
+                cfg.timestep, cfg.merit_mu, cfg.cost.qd_cost, cfg.cost.r_cost,
+                cfg.integrator_type, cfg.gravity,
+            )[cfg.num_alphas]
+    else:
+        def eval_merits(Xc, Uc, dX, dU):
+            return merit_ops.line_search_merits(
+                model, Xc, Uc, dX, dU, alphas, goals, xs, cfg.timestep,
+                cfg.merit_mu, cfg.cost.qd_cost, cfg.cost.r_cost,
+                cfg.integrator_type, cfg.gravity,
+            )
+
+        def merit_of(Xc, Uc):
+            return merit_ops.merit(
+                model, Xc, Uc, goals, xs, cfg.timestep, cfg.merit_mu,
+                cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
+                cfg.gravity,
+            )
 
     merit0 = merit_of(X, U)
 
@@ -151,11 +178,7 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
         lam_new, pcg_it, hit_max = solve_fn(cfg, schur, st.lam, pcg_exit_tol)
         dX, dU = compute_dz(kkt, schur, lam_new)
 
-        merits = merit_ops.line_search_merits(
-            model, st.X, st.U, dX, dU, alphas, goals, xs, cfg.timestep,
-            cfg.merit_mu, cfg.cost.qd_cost, cfg.cost.r_cost,
-            cfg.integrator_type, cfg.gravity,
-        )
+        merits = eval_merits(st.X, st.U, dX, dU)
         best = jnp.argmin(merits)
         best_merit = merits[best]
         accept = best_merit < st.merit
