@@ -15,9 +15,18 @@ models/dynamics.py.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EZ = 2
+
+
+def _ez_col(dtype):
+    """(6,1) unit-z mask; Mosaic has no scatter, so 'v.at[2].add(w)'
+    becomes 'v + _ez_col * w[None]'.  Built from iota rather than a
+    literal so Pallas does not see a captured array constant."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
+    return (rows == _EZ).astype(dtype)
 
 
 def matvec6(M, v):
@@ -108,8 +117,7 @@ def aba_qdd(x_tables, I_tables, q, qd, u, gravity: float = 0.0):
     v_prev = jnp.zeros((6, B), dtype)
     v, cvel, pA = [], [], []
     for j in range(nj):
-        vj = matvec6(X[j], v_prev)
-        vj = vj.at[_EZ].add(qd[j])
+        vj = matvec6(X[j], v_prev) + _ez_col(dtype) * qd[j][None, :]
         v.append(vj)
         cvel.append(crm_z(vj, qd[j]))
         pA.append(crf(vj, matvec6(I[j], vj)))
@@ -131,15 +139,17 @@ def aba_qdd(x_tables, I_tables, q, qd, u, gravity: float = 0.0):
             pA[j - 1] = pA[j - 1] + matvec6_T(X[j], pa)
 
     # pass 3
-    a_prev = jnp.zeros((6, B), dtype)
+    a_prev = jnp.full((6, B), 0.0, dtype)
     if gravity:
-        a_prev = a_prev.at[5].set(jnp.full((B,), gravity, dtype))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
+        a_prev = a_prev + (rows == 5).astype(dtype) * gravity
     qdd = []
+    ez = _ez_col(dtype)
     for j in range(nj):
         aj = matvec6(X[j], a_prev) + cvel[j]
         qdd_j = (uc[j] - jnp.sum(Uc[j] * aj, axis=0)) / dc[j]
         qdd.append(qdd_j)
-        a_prev = aj.at[_EZ].add(qdd_j)
+        a_prev = aj + ez * qdd_j[None, :]
     return jnp.stack(qdd, axis=0)
 
 
@@ -172,3 +182,231 @@ def fk_ee_xyz(h_tables, q):
     for j in range(1, nj):
         T = matmul4(T, hom4(h_tables, j, sin_q[j], cos_q[j]))
     return T[:3, 3, :]
+
+
+# ---------------------------------------------------------------------------
+# generic lane-batched small linear algebra
+# ---------------------------------------------------------------------------
+
+def lane_matmul(A, B):
+    """(m,k,B) @ (k,n,B) -> (m,n,B) as m*k lane-wide FMAs."""
+    m, k, _ = A.shape
+    rows = []
+    for i in range(m):
+        acc = A[i, 0, :][None, :] * B[0]
+        for t in range(1, k):
+            acc = acc + A[i, t, :][None, :] * B[t]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def lane_matmul_T1(A, B):
+    """A' @ B for (k,m,B),(k,n,B) -> (m,n,B)."""
+    k, m, _ = A.shape
+    rows = []
+    for i in range(m):
+        acc = A[0, i, :][None, :] * B[0]
+        for t in range(1, k):
+            acc = acc + A[t, i, :][None, :] * B[t]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def lane_matmul_T2(A, B):
+    """A @ B' for (m,k,B),(n,k,B) -> (m,n,B)."""
+    m, k, _ = A.shape
+    n = B.shape[0]
+    rows = []
+    for i in range(m):
+        cols = []
+        acc = None
+        for t in range(k):
+            term = A[i, t, :][None, :] * B[:, t, :]
+            acc = term if acc is None else acc + term
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def lane_matvec(A, v):
+    """(m,k,B) @ (k,B) -> (m,B)."""
+    k = v.shape[0]
+    acc = A[:, 0, :] * v[0:1, :]
+    for t in range(1, k):
+        acc = acc + A[:, t, :] * v[t:t + 1, :]
+    return acc
+
+
+def lane_matvec_T(A, v):
+    """(k,m,B)' @ (k,B) -> (m,B)."""
+    k = v.shape[0]
+    acc = A[0, :, :] * v[0:1, :]
+    for t in range(1, k):
+        acc = acc + A[t, :, :] * v[t:t + 1, :]
+    return acc
+
+
+def lane_transpose(A):
+    """(m,n,B) -> (n,m,B) (free: leading-dim shuffle)."""
+    return jnp.swapaxes(A, 0, 1)
+
+
+def lane_eye(n, B, dtype):
+    return jnp.eye(n, dtype=dtype)[:, :, None] * jnp.ones((1, 1, B), dtype)
+
+
+def _inv1_lane(A):
+    return 1.0 / A
+
+
+def _inv2_lane(A):
+    a, b = A[0, 0], A[0, 1]
+    c, d = A[1, 0], A[1, 1]
+    det = a * d - b * c
+    return jnp.stack(
+        [jnp.stack([d, -b], 0), jnp.stack([-c, a], 0)], 0
+    ) / det[None, None, :]
+
+
+def _inv3_lane(A):
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, -(b * i - c * h), b * f - c * e], 0),
+            jnp.stack([co_b, a * i - c * g, -(a * f - c * d)], 0),
+            jnp.stack([co_c, -(a * h - b * g), a * e - b * d], 0),
+        ],
+        0,
+    )
+    return adj / det[None, None, :]
+
+
+def spd_inverse_lane(A):
+    """Block-recursive SPD inverse for (n,n,B) (see ops/smallinv.py)."""
+    n = A.shape[0]
+    if n == 1:
+        return _inv1_lane(A)
+    if n == 2:
+        return _inv2_lane(A)
+    if n == 3:
+        return _inv3_lane(A)
+    m = n // 2
+    P, Q, S = A[:m, :m], A[:m, m:], A[m:, m:]
+    Pi = spd_inverse_lane(P)
+    PiQ = lane_matmul(Pi, Q)
+    T = S - lane_matmul_T1(Q, PiQ)
+    Ti = spd_inverse_lane(T)
+    TR = -lane_matmul(PiQ, Ti)
+    TL = Pi - lane_matmul_T2(TR, PiQ)
+    top = jnp.concatenate([TL, TR], axis=1)
+    bot = jnp.concatenate([lane_transpose(TR), Ti], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# lane-batched RNEA / CRBA / FK jacobian (for the KKT kernel)
+# ---------------------------------------------------------------------------
+
+def crm(v, m):
+    """Full spatial motion cross product, lane-batched (6,B)x(6,B)."""
+    w0, w1, w2, l0, l1, l2 = v
+    m0, m1, m2, m3, m4, m5 = m
+    return jnp.stack(
+        [
+            w1 * m2 - w2 * m1,
+            w2 * m0 - w0 * m2,
+            w0 * m1 - w1 * m0,
+            w1 * m5 - w2 * m4 + l1 * m2 - l2 * m1,
+            w2 * m3 - w0 * m5 + l2 * m0 - l0 * m2,
+            w0 * m4 - w1 * m3 + l0 * m1 - l1 * m0,
+        ],
+        axis=0,
+    )
+
+
+def rnea_lane(x_tables, I_tables, q, qd, qdd, gravity: float = 0.0):
+    """Lane-batched RNEA: (nj,B) inputs -> tau (nj,B).
+
+    Mirrors models.dynamics.rnea; written with jnp.where-free straight-line
+    ops so it also serves as the base for in-kernel jvp tangents.
+    """
+    nj, B = q.shape
+    dtype = q.dtype
+    sin_q, cos_q = jnp.sin(q), jnp.cos(q)
+    X = [joint_X(x_tables, j, sin_q[j], cos_q[j]) for j in range(nj)]
+    I = [I_tables[j][:, :, None].astype(dtype) for j in range(nj)]
+
+    v_prev = jnp.zeros((6, B), dtype)
+    a_prev = jnp.zeros((6, B), dtype)
+    if gravity:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
+        a_prev = a_prev + (rows == 5).astype(dtype) * gravity
+    fs = []
+    ez = _ez_col(dtype)
+    for j in range(nj):
+        vj = matvec6(X[j], v_prev) + ez * qd[j][None, :]
+        aj = matvec6(X[j], a_prev) + ez * qdd[j][None, :]
+        aj = aj + crm_z(vj, qd[j])
+        fj = lane_matvec(I[j], aj) + crf(vj, lane_matvec(I[j], vj))
+        fs.append(fj)
+        v_prev, a_prev = vj, aj
+    tau = [None] * nj
+    f = fs[nj - 1]
+    for j in range(nj - 1, -1, -1):
+        tau[j] = f[_EZ]
+        if j > 0:
+            f = fs[j - 1] + matvec6_T(X[j], f)
+    return jnp.stack(tau, axis=0)
+
+
+def crba_M_lane(x_tables, I_tables, q):
+    """Lane-batched CRBA mass matrix: (nj,B) -> (nj,nj,B)."""
+    nj, B = q.shape
+    dtype = q.dtype
+    sin_q, cos_q = jnp.sin(q), jnp.cos(q)
+    X = [joint_X(x_tables, j, sin_q[j], cos_q[j]) for j in range(nj)]
+    Ic = [I_tables[j][:, :, None].astype(dtype) * jnp.ones((1, 1, B), dtype)
+          for j in range(nj)]
+    for j in range(nj - 1, 0, -1):
+        Ic[j - 1] = Ic[j - 1] + congruence_T(X[j], Ic[j])
+    # F[i] = Ic_i S propagated down; masked backward column sweep
+    F = jnp.stack([Ic[i][:, _EZ, :] for i in range(nj)], axis=0)  # (nj,6,B)
+    diag = F[:, _EZ, :]                                            # (nj,B)
+    cols = [jnp.zeros((nj, B), dtype)] * nj
+    for j in range(nj - 1, 0, -1):
+        Fp = jnp.stack([matvec6_T(X[j], F[i]) for i in range(nj)], axis=0)
+        live = (jnp.arange(nj) >= j)[:, None, None]
+        F = jnp.where(live, Fp, F)
+        cols[j - 1] = jnp.where(live[:, 0, :], F[:, _EZ, :], 0.0)
+    L = jnp.stack(cols, axis=1)  # (nj, nj, B) strictly lower
+    M = L + lane_transpose(L)
+    idx = jnp.arange(nj)
+    return M + (idx[:, None] == idx[None, :])[:, :, None] * diag[:, None, :]
+
+
+def fk_ee_and_jac(h_tables, dh_tables, q):
+    """EE xyz (3,B) and position Jacobian (3,nj,B), lane-batched.
+
+    dT/dq_j = (H_0..H_{j-1}) dH_j (H_{j+1}..H_{nj-1}) via prefix/suffix
+    products (same math as models.dynamics.ee_pos_and_jac).
+    """
+    nj, B = q.shape
+    sin_q, cos_q = jnp.sin(q), jnp.cos(q)
+    H = [hom4(h_tables, j, sin_q[j], cos_q[j]) for j in range(nj)]
+    dH = [hom4(dh_tables, j, sin_q[j], cos_q[j]) for j in range(nj)]
+    prefix = [None] * (nj + 1)
+    prefix[0] = lane_eye(4, B, q.dtype)
+    for j in range(nj):
+        prefix[j + 1] = matmul4(prefix[j], H[j])
+    suffix = [None] * (nj + 1)
+    suffix[nj] = lane_eye(4, B, q.dtype)
+    for j in range(nj - 1, -1, -1):
+        suffix[j] = matmul4(H[j], suffix[j + 1])
+    cols = [matmul4(matmul4(prefix[j], dH[j]), suffix[j + 1])[:3, 3, :]
+            for j in range(nj)]
+    return prefix[nj][:3, 3, :], jnp.stack(cols, axis=1)  # (3,B), (3,nj,B)
