@@ -1,0 +1,273 @@
+"""Fused KKT linearization + Schur condensation: one Pallas kernel.
+
+Combines the work of the reference's KKT kernel
+(reference include/common/kkt.cuh:24-163) and Schur/preconditioner
+formation kernel (include/pcg/linsys_setup.cuh:141-612) into a single
+lane-batched Pallas kernel: one lane per knot, all stages straight-line
+VPU code --
+
+  dynamics gradients : RNEA tangents via 2*nq in-kernel jvp pushes,
+                       composed with Minv (CRBA + block-recursive SPD
+                       inverse) exactly as the reference
+                       (iiwa_eepos_plant.cuh:128-156);
+  cost grad/Hessian  : FK prefix/suffix chains with the dH tables
+                       (iiwa_eepos_plant.cuh:297-378);
+  Schur blocks       : per-lane products with lane-roll neighbor shifts
+                       standing in for the reference's block-row indexing
+                       (theta, Phi, gamma, stair Pinv -- ops/schur.py
+                       documents the math).
+
+Outputs stay in lane layout ((d, N) / (d, d, N)) so the fused PCG kernel
+consumes them without transposes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpcgpu_tpu.models.robot import RobotModel
+from mpcgpu_tpu.ops.pallas import lanedyn as ld
+
+
+class LaneSchur(NamedTuple):
+    """Lane-layout Schur system + cached blocks for primal recovery."""
+
+    SL: jnp.ndarray   # (nx, nx, N) lower band
+    SD: jnp.ndarray   # diag band
+    SU: jnp.ndarray   # upper band
+    PL: jnp.ndarray   # stair preconditioner bands
+    PD: jnp.ndarray
+    PU: jnp.ndarray
+    gamma: jnp.ndarray  # (nx, N)
+    Qinv: jnp.ndarray   # (nx, nx, N)
+    Rinv: jnp.ndarray   # (nu, nu, N)  (lane N-1 unused)
+    A: jnp.ndarray      # (nx, nx, N)  A_k in lane k (lane N-1 unused)
+    B: jnp.ndarray      # (nx, nu, N)
+    q: jnp.ndarray      # (nx, N) cost gradient
+    r: jnp.ndarray      # (nu, N) control gradient (lane N-1 unused)
+
+
+def _lane_mask(n, lo, hi, dtype):
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    return ((k >= lo) & (k < hi)).astype(dtype)
+
+
+def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
+            integrator_type: int, gravity: float, hessian: str,
+            precond: bool,
+            rho_ref, x_ref, u_ref, goals_ref, xs_ref,
+            hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
+            sl_o, sd_o, su_o, pl_o, pd_o, pu_o, gam_o, qinv_o, rinv_o,
+            a_o, b_o, qg_o, rg_o):
+    nx = 2 * nq
+    X = x_ref[:]                # (nx, N)
+    U = u_ref[:]                # (nu, N)
+    goals = goals_ref[:]        # (3, N)
+    xs_meas = xs_ref[:]         # (nx, 1)
+    rho = rho_ref[0]
+    n = X.shape[1]
+    dtype = X.dtype
+
+    q, qd = X[:nq], X[nq:]
+    x_tab = (xc[:], xs_t[:], xk[:])
+    h_tab = (hc[:], hs[:], hk[:])
+    dh_tab = (dhc[:], dhs[:], dhk[:])
+    I_tab = i_ref[:]
+
+    # ---- forward dynamics + gradient (reference fd_and_gradient comp.)
+    M = ld.crba_M_lane(x_tab, I_tab, q)
+    Minv = ld.spd_inverse_lane(M)
+    bias = ld.rnea_lane(x_tab, I_tab, q, qd, jnp.zeros_like(q), gravity)
+    qdd = ld.lane_matvec(Minv, U - bias)
+
+    def id_tau(qq, qqd):
+        return ld.rnea_lane(x_tab, I_tab, qq, qqd, qdd, gravity)
+
+    # 2*nq tangent pushes: dtau/d(q,qd) columns, composed to dqdd = -Minv dtau
+    rows_q = jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0)
+    dqdd_cols = []
+    for j in range(2 * nq):
+        ej = (rows_q == (j % nq)).astype(dtype) * jnp.ones((1, n), dtype)
+        tq = ej if j < nq else jnp.zeros((nq, n), dtype)
+        tqd = ej if j >= nq else jnp.zeros((nq, n), dtype)
+        _, dtau_j = jax.jvp(id_tau, (q, qd), (tq, tqd))
+        dqdd_cols.append(-ld.lane_matvec(Minv, dtau_j))     # (nq, N)
+    dfdq = jnp.stack(dqdd_cols[:nq], axis=1)                # (nq, nq, N)
+    dfdqd = jnp.stack(dqdd_cols[nq:], axis=1)
+
+    # ---- integrator gradient (integrator.cuh:61-100)
+    eye_q = jnp.eye(nq, dtype=dtype)[:, :, None]
+    zer_q = jnp.zeros((nq, nq, 1), dtype) * jnp.zeros((1, 1, n), dtype)
+    if integrator_type == 0:
+        A_top = jnp.concatenate([eye_q + zer_q, dt * eye_q + zer_q], axis=1)
+        A_bot = jnp.concatenate([dt * dfdq, eye_q + dt * dfdqd], axis=1)
+        B_top = jnp.zeros((nq, nu, n), dtype)
+        B_bot = dt * Minv
+        qn = q + dt * qd
+        qdn = qd + dt * qdd
+    else:
+        A_top = jnp.concatenate(
+            [eye_q + dt * dt * dfdq, dt * eye_q + dt * dt * dfdqd], axis=1
+        )
+        A_bot = jnp.concatenate([dt * dfdq, eye_q + dt * dfdqd], axis=1)
+        B_top = dt * dt * Minv
+        B_bot = dt * Minv
+        qdn = qd + dt * qdd
+        qn = q + dt * qdn
+    A = jnp.concatenate([A_top, A_bot], axis=0)             # (nx, nx, N)
+    Bm = jnp.concatenate([B_top, B_bot], axis=0)            # (nx, nu, N)
+
+    # defect c_{k+1} = x_{k+1} - f(x_k, u_k), shifted so lane k holds c_k
+    f_pred = jnp.concatenate([qn, qdn], axis=0)
+    x_next = pltpu.roll(X, n - 1, axis=1)
+    err = x_next - f_pred                                   # lane k: c_{k+1}
+    c = pltpu.roll(err, 1, axis=1) * _lane_mask(n, 1, n, dtype)  # lane k: c_k
+
+    # ---- cost gradient / Hessian (iiwa_eepos_plant.cuh:297-378)
+    ee, J = ld.fk_ee_and_jac(h_tab, dh_tab, q)              # (3,N), (3,nq,N)
+    e3 = ee - goals
+    g_q = ld.lane_matvec_T(J, e3)                           # (nq, N)
+    qg = jnp.concatenate([g_q, qd_cost * qd], axis=0)       # (nx, N)
+    rg = r_cost * U
+
+    if hessian == "reference":
+        Q_pos = g_q[:, None, :] * g_q[None, :, :]
+    else:  # gauss_newton
+        Q_pos = ld.lane_matmul_T1(J, J)
+    # Q = [[Q_pos, 0], [0, qd_cost I]]  (plant :358-368), built by
+    # concatenation -- Mosaic has no in-kernel scatter/update-slice.
+    eye_x = jnp.eye(nx, dtype=dtype)[:, :, None]
+    zq = jnp.zeros((nq, nq, n), dtype)
+    qd_eye = qd_cost * (jnp.eye(nq, dtype=dtype)[:, :, None]
+                        * jnp.ones((1, 1, n), dtype))
+    Q = jnp.concatenate(
+        [jnp.concatenate([Q_pos, zq], axis=1),
+         jnp.concatenate([zq, qd_eye], axis=1)],
+        axis=0,
+    )
+    eye_u = jnp.eye(nu, dtype=dtype)[:, :, None]
+    R = r_cost * (eye_u * jnp.ones((1, 1, n), dtype))
+
+    # ---- regularize + invert (utils/matrix.cuh Gauss-Jordan equivalent)
+    Qr = Q + rho * eye_x
+    Rr = R + rho * eye_u
+    Qinv = ld.spd_inverse_lane(Qr)
+    Rinv = ld.spd_inverse_lane(Rr)
+
+    # ---- Schur blocks (linsys_setup.cuh:141-562, true-space; ops/schur.py)
+    AQi = ld.lane_matmul(A, Qinv)                           # lane k: A_k Qr_k^-1
+    BRi = ld.lane_matmul(Bm, Rinv)
+    T = ld.lane_matmul_T2(AQi, A) + ld.lane_matmul_T2(BRi, Bm)
+    m1 = _lane_mask(n, 1, n, dtype)[None]                   # (1,1,N): k >= 1
+    mN = _lane_mask(n, 0, n - 1, dtype)[None]               # k <= N-2
+    theta = Qinv + pltpu.roll(T, 1, axis=2) * m1
+    phi = -pltpu.roll(AQi, 1, axis=2) * m1                  # lane k: Phi_k
+    SU = -ld.lane_transpose(AQi) * mN                       # lane k: Phi_{k+1}'
+
+    Qiq = ld.lane_matvec(Qinv, qg)
+    t_vec = ld.lane_matvec(AQi, qg) + ld.lane_matvec(BRi, rg)
+    gamma = Qiq - pltpu.roll(t_vec, 1, axis=1) * m1[0] - c
+
+    if precond:
+        theta_inv = ld.spd_inverse_lane(theta)
+        PL = -ld.lane_matmul(
+            ld.lane_matmul(theta_inv, phi), pltpu.roll(theta_inv, 1, axis=2)
+        ) * m1
+        PU = -ld.lane_matmul(
+            ld.lane_matmul(theta_inv, SU),
+            pltpu.roll(theta_inv, n - 1, axis=2),
+        ) * mN
+        PD = theta_inv
+    else:
+        PD = eye_x * jnp.ones((1, 1, n), dtype)
+        PL = jnp.zeros_like(theta)
+        PU = jnp.zeros_like(theta)
+
+    sl_o[:] = phi
+    sd_o[:] = theta
+    su_o[:] = SU
+    pl_o[:] = PL
+    pd_o[:] = PD
+    pu_o[:] = PU
+    gam_o[:] = gamma
+    qinv_o[:] = Qinv
+    rinv_o[:] = Rinv
+    a_o[:] = A
+    b_o[:] = Bm
+    qg_o[:] = qg
+    rg_o[:] = rg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "qd_cost", "r_cost", "integrator_type", "gravity",
+                     "hessian", "precond", "interpret"),
+)
+def form_kkt_schur_pallas(model: RobotModel, X, U, goals, xs, rho,
+                          dt: float, qd_cost: float, r_cost: float,
+                          integrator_type: int = 0, gravity: float = 0.0,
+                          hessian: str = "reference", precond: bool = True,
+                          interpret: bool = None) -> LaneSchur:
+    """X (N, nx), U (N-1, nu) -> lane-layout Schur system."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, nx = X.shape
+    nu = U.shape[1]
+    nq = nx // 2
+    f32 = X.dtype
+
+    Xl = X.T
+    Ul = jnp.concatenate([U, jnp.zeros((1, nu), U.dtype)]).T
+    goals_l = goals[:, :3].T
+
+    kern = functools.partial(
+        _kernel, nq, nu, float(dt), float(qd_cost), float(r_cost),
+        int(integrator_type), float(gravity), str(hessian), bool(precond),
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    sds = jax.ShapeDtypeStruct
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            sds((nx, nx, n), f32), sds((nx, nx, n), f32), sds((nx, nx, n), f32),
+            sds((nx, nx, n), f32), sds((nx, nx, n), f32), sds((nx, nx, n), f32),
+            sds((nx, n), f32),
+            sds((nx, nx, n), f32), sds((nu, nu, n), f32),
+            sds((nx, nx, n), f32), sds((nx, nu, n), f32),
+            sds((nx, n), f32), sds((nu, n), f32),
+        ),
+        in_specs=[smem] + [vmem] * 14,
+        out_specs=(vmem,) * 13,
+        interpret=interpret,
+    )(
+        jnp.asarray(rho, f32).reshape(1),
+        Xl, Ul, goals_l, xs[:, None],
+        model.Hc, model.Hs, model.Hk, model.dHc, model.dHs, model.dHk,
+        model.Xc, model.Xs, model.Xk, model.I,
+    )
+    return LaneSchur(*outs)
+
+
+def compute_dz_lanes(ls: LaneSchur, lam_l):
+    """Primal step from the lane-layout system; lam_l is (nx, N).
+
+    Same math as ops/dz.py: dx_k = -Qinv_k (q_k - lam_k + A_k' lam_{k+1}),
+    du_k = -Rinv_k (r_k + B_k' lam_{k+1}).  Returns (dX (N,nx), dU (N-1,nu)).
+    """
+    n = lam_l.shape[1]
+    lam_next = jnp.concatenate(
+        [lam_l[:, 1:], jnp.zeros((lam_l.shape[0], 1), lam_l.dtype)], axis=1
+    )
+    At_lam = jnp.einsum("jik,jk->ik", ls.A, lam_next)
+    mask = (jnp.arange(n) < n - 1).astype(lam_l.dtype)[None, :]
+    rhs_x = ls.q - lam_l + At_lam * mask
+    dX = -jnp.einsum("ijk,jk->ik", ls.Qinv, rhs_x)
+    Bt_lam = jnp.einsum("jik,jk->ik", ls.B, lam_next)
+    dU = -jnp.einsum("ijk,jk->ik", ls.Rinv, ls.r + Bt_lam)
+    return dX.T, dU.T[:-1]

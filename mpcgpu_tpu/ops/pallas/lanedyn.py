@@ -29,6 +29,18 @@ def _ez_col(dtype):
     return (rows == _EZ).astype(dtype)
 
 
+def row_sum(x):
+    """Sum over the leading (small) axis as unrolled adds -> (1, B).
+
+    Mosaic's vector.multi_reduction rejects some offset sublane layouts;
+    explicit row adds always lower.
+    """
+    acc = x[0:1, :]
+    for i in range(1, x.shape[0]):
+        acc = acc + x[i:i + 1, :]
+    return acc
+
+
 def matvec6(M, v):
     """(6,6,B) @ (6,B) -> (6,B): 6 lane-wide FMAs."""
     acc = M[:, 0, :] * v[0:1, :]
@@ -147,10 +159,10 @@ def aba_qdd(x_tables, I_tables, q, qd, u, gravity: float = 0.0):
     ez = _ez_col(dtype)
     for j in range(nj):
         aj = matvec6(X[j], a_prev) + cvel[j]
-        qdd_j = (uc[j] - jnp.sum(Uc[j] * aj, axis=0)) / dc[j]
+        qdd_j = (uc[j][None, :] - row_sum(Uc[j] * aj)) / dc[j][None, :]
         qdd.append(qdd_j)
-        a_prev = aj + ez * qdd_j[None, :]
-    return jnp.stack(qdd, axis=0)
+        a_prev = aj + ez * qdd_j
+    return jnp.concatenate(qdd, axis=0)
 
 
 def hom4(tables, j, sin_q, cos_q):

@@ -43,9 +43,9 @@ def _merit_kernel(nq: int, dt: float, mu: float, qd_cost: float,
     # tracking cost (iiwa_eepos_plant.cuh:242-290)
     ee = lanedyn.fk_ee_xyz((hx_c[:], hx_s[:], hx_k[:]), q)
     err = ee - goals
-    cost = 0.5 * jnp.sum(err * err, axis=0, keepdims=True)
-    cost += 0.5 * qd_cost * jnp.sum(qd * qd, axis=0, keepdims=True)
-    cost += m_last * 0.5 * r_cost * jnp.sum(Uc * Uc, axis=0, keepdims=True)
+    cost = 0.5 * lanedyn.row_sum(err * err)
+    cost += 0.5 * qd_cost * lanedyn.row_sum(qd * qd)
+    cost += m_last * 0.5 * r_cost * lanedyn.row_sum(Uc * Uc)
 
     # dynamics defect (integrator.cuh:24-57 with ABA forward dynamics)
     qdd = lanedyn.aba_qdd((xx_c[:], xx_s[:], xx_k[:]), i_ref[:], q, qd, Uc,
@@ -58,10 +58,10 @@ def _merit_kernel(nq: int, dt: float, mu: float, qd_cost: float,
         qn = q + dt * qdn
     f = jnp.concatenate([qn, qdn], axis=0)
     x_next = pltpu.roll(Xc, Xc.shape[1] - 1, axis=1)  # lane b+1 -> b
-    defect = jnp.sum(jnp.abs(x_next - f), axis=0, keepdims=True) * m_last
+    defect = lanedyn.row_sum(jnp.abs(x_next - f)) * m_last
 
     # initial-state violation (merit.cuh:69-77)
-    c0 = jnp.sum(jnp.abs(Xc - xs), axis=0, keepdims=True) * m0
+    c0 = lanedyn.row_sum(jnp.abs(Xc - xs)) * m0
 
     out_ref[:] = cost + mu * (defect + c0)
 

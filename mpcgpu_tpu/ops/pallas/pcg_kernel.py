@@ -37,13 +37,18 @@ def _band_spmv(L, D, U, x):
     rolls; the zero edge blocks absorb the circular wrap-around.
     """
     n = x.shape[1]
+    s = x.shape[0]
     xm = pltpu.roll(x, 1, axis=1)      # x_{k-1} into lane k (wraps; L[0] = 0)
     xp = pltpu.roll(x, n - 1, axis=1)  # x_{k+1} into lane k (wraps; U[N-1] = 0)
-    return (
-        jnp.sum(D * x[None, :, :], axis=1)
-        + jnp.sum(L * xm[None, :, :], axis=1)
-        + jnp.sum(U * xp[None, :, :], axis=1)
-    )
+    # 3s fused multiply-adds of (s, N) tiles; the broadcast/sublane-reduce
+    # formulation trips Mosaic relayout bugs on hardware, so stay explicit.
+    acc = D[:, 0, :] * x[0:1, :]
+    for j in range(1, s):
+        acc = acc + D[:, j, :] * x[j:j + 1, :]
+    for j in range(s):
+        acc = acc + L[:, j, :] * xm[j:j + 1, :]
+        acc = acc + U[:, j, :] * xp[j:j + 1, :]
+    return acc
 
 
 def _pcg_kernel(s: int, max_iter_ref, tol_ref,

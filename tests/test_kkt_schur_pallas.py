@@ -1,0 +1,70 @@
+"""Fused KKT+Schur Pallas kernel vs the portable XLA pipeline."""
+import jax.numpy as jnp
+import numpy as np
+
+from mpcgpu_tpu.ops.dz import compute_dz
+from mpcgpu_tpu.ops.kkt import form_kkt
+from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
+    compute_dz_lanes, form_kkt_schur_pallas)
+from mpcgpu_tpu.ops.schur import form_schur
+
+N = 16
+RHO = 1e-3
+
+
+def _problem(iiwa, traj_0_0):
+    xu, ee = traj_0_0
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(xu[:N, :14]) + 0.02 * jnp.asarray(
+        rng.normal(size=(N, 14)), jnp.float32)
+    U = jnp.asarray(xu[:N - 1, 14:])
+    goals = jnp.asarray(ee[:N])
+    xs = jnp.asarray(xu[0, :14])
+    return X, U, goals, xs
+
+
+def test_kernel_matches_xla_pipeline(iiwa, traj_0_0):
+    X, U, goals, xs = _problem(iiwa, traj_0_0)
+    kkt = form_kkt(iiwa, X, U, goals, xs, 0.015625, 1e-4, 1e-3)
+    sd = form_schur(kkt, RHO)
+    ls = form_kkt_schur_pallas(
+        iiwa, X, U, goals, xs, RHO, 0.015625, 1e-4, 1e-3, interpret=True)
+
+    tol = dict(rtol=3e-3, atol=3e-3)
+    lane = lambda b: np.asarray(jnp.transpose(b, (2, 0, 1)))
+    np.testing.assert_allclose(lane(ls.SD), np.asarray(sd.S.diag), **tol)
+    np.testing.assert_allclose(lane(ls.SL), np.asarray(sd.S.lower), **tol)
+    np.testing.assert_allclose(lane(ls.SU), np.asarray(sd.S.upper), **tol)
+    np.testing.assert_allclose(lane(ls.PD), np.asarray(sd.Pinv.diag), **tol)
+    np.testing.assert_allclose(lane(ls.PL), np.asarray(sd.Pinv.lower), **tol)
+    np.testing.assert_allclose(lane(ls.PU), np.asarray(sd.Pinv.upper), **tol)
+    np.testing.assert_allclose(np.asarray(ls.gamma.T), np.asarray(sd.gamma),
+                               **tol)
+    np.testing.assert_allclose(lane(ls.Qinv), np.asarray(sd.Qinv), **tol)
+    np.testing.assert_allclose(
+        lane(ls.A)[:-1], np.asarray(kkt.A), **tol)
+
+    # dz path
+    rng = np.random.default_rng(1)
+    lam = jnp.asarray(rng.normal(size=(N, 14)) * 0.1, jnp.float32)
+    dX_ref, dU_ref = compute_dz(kkt, sd, lam)
+    dX, dU = compute_dz_lanes(ls, lam.T)
+    np.testing.assert_allclose(np.asarray(dX), np.asarray(dX_ref), **tol)
+    np.testing.assert_allclose(np.asarray(dU), np.asarray(dU_ref), **tol)
+
+
+def test_kernel_gauss_newton_and_noprecond(iiwa, traj_0_0):
+    X, U, goals, xs = _problem(iiwa, traj_0_0)
+    kkt = form_kkt(iiwa, X, U, goals, xs, 0.015625, 1e-4, 1e-3,
+                   hessian="gauss_newton")
+    sd = form_schur(kkt, RHO, preconditioned=False)
+    ls = form_kkt_schur_pallas(
+        iiwa, X, U, goals, xs, RHO, 0.015625, 1e-4, 1e-3,
+        hessian="gauss_newton", precond=False, interpret=True)
+    lane = lambda b: np.asarray(jnp.transpose(b, (2, 0, 1)))
+    # GN position block + rho=1e-3 makes Q near-singular: inverses carry
+    # entries ~1/rho, so compare with correspondingly looser tolerance.
+    np.testing.assert_allclose(lane(ls.SD), np.asarray(sd.S.diag),
+                               rtol=1e-2, atol=2e-1)
+    np.testing.assert_allclose(lane(ls.PD), np.asarray(sd.Pinv.diag),
+                               rtol=1e-5, atol=1e-5)
