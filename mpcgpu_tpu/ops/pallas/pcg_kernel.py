@@ -89,27 +89,20 @@ def _pcg_kernel(s: int, max_iter_ref, tol_ref,
     hit_ref[0] = (jnp.abs(eta) > tol).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter_cap", "interpret"))
-def pcg_pallas(S: BlockTri, Pinv: BlockTri, gamma, lam0, max_iter, exit_tol,
-               max_iter_cap: int = 0, interpret: bool = False):
-    """Solve S lam = gamma fully inside one Pallas kernel.
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pcg_pallas_lanes(SL, SD, SU, PL, PD, PU, gamma_l, lam0_l, max_iter,
+                     exit_tol, interpret: bool = None):
+    """Lane-layout entry: bands (s,s,N), vectors (s,N) -- no transposes.
 
-    Returns (lam (N, s), iters int32, hit_max bool) like ops.pcg.pcg.
+    Feeds directly from the fused KKT+Schur kernel's outputs.
+    Returns (lam (s,N), iters, hit_max).
     """
-    n, s = gamma.shape
-    f32 = gamma.dtype
-
-    to_lane = lambda b: jnp.transpose(b, (1, 2, 0))  # (N,s,s) -> (s,s,N)
-    vec = lambda v: jnp.transpose(v, (1, 0))         # (N,s)   -> (s,N)
-
-    args = (
-        to_lane(S.lower), to_lane(S.diag), to_lane(S.upper),
-        to_lane(Pinv.lower), to_lane(Pinv.diag), to_lane(Pinv.upper),
-        vec(gamma), vec(lam0),
-    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, n = gamma_l.shape
+    f32 = gamma_l.dtype
     smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-
     lam_t, iters, hit = pl.pallas_call(
         functools.partial(_pcg_kernel, s),
         out_shape=(
@@ -123,23 +116,41 @@ def pcg_pallas(S: BlockTri, Pinv: BlockTri, gamma, lam0, max_iter, exit_tol,
     )(
         jnp.asarray(max_iter, jnp.int32).reshape(1),
         jnp.asarray(exit_tol, f32).reshape(1),
-        *args,
+        SL, SD, SU, PL, PD, PU, gamma_l, lam0_l,
     )
-    return jnp.transpose(lam_t, (1, 0)), iters[0], iters_hit_bool(hit)
+    return lam_t, iters[0], iters_hit_bool(hit)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter_cap", "interpret"))
+def pcg_pallas(S: BlockTri, Pinv: BlockTri, gamma, lam0, max_iter, exit_tol,
+               max_iter_cap: int = 0, interpret: bool = False):
+    """Solve S lam = gamma fully inside one Pallas kernel.
+
+    Returns (lam (N, s), iters int32, hit_max bool) like ops.pcg.pcg.
+    """
+    to_lane = lambda b: jnp.transpose(b, (1, 2, 0))  # (N,s,s) -> (s,s,N)
+    vec = lambda v: jnp.transpose(v, (1, 0))         # (N,s)   -> (s,N)
+    lam_t, iters, hit = pcg_pallas_lanes(
+        to_lane(S.lower), to_lane(S.diag), to_lane(S.upper),
+        to_lane(Pinv.lower), to_lane(Pinv.diag), to_lane(Pinv.upper),
+        vec(gamma), vec(lam0), max_iter, exit_tol, interpret=interpret,
+    )
+    return jnp.transpose(lam_t, (1, 0)), iters, hit
 
 
 def iters_hit_bool(hit):
     return hit[0].astype(bool)
 
 
-def register_backend(interpret: bool = False):
+def register_backend(interpret: bool = None):
     """Register the fused kernel as the 'pcg_pallas' linsys backend."""
     from mpcgpu_tpu.sqp import register_linsys_backend
 
     def solve(cfg, schur, lam, pcg_exit_tol):
+        itp = (jax.default_backend() != "tpu") if interpret is None else interpret
         lam_new, iters, hit = pcg_pallas(
             schur.S, schur.Pinv, schur.gamma, lam,
-            cfg.pcg.max_iter, pcg_exit_tol, interpret=interpret,
+            cfg.pcg.max_iter, pcg_exit_tol, interpret=itp,
         )
         return lam_new, iters, hit
 

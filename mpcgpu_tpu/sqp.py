@@ -168,15 +168,36 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
     def cond(st: _LoopState):
         return jnp.logical_and(st.it < n_iter, jnp.logical_not(st.done))
 
-    def body(st: _LoopState) -> _LoopState:
+    def linearize_and_solve(st: _LoopState):
+        if cfg.pallas_stages:
+            # fused lane-layout path: one kernel for KKT+Schur, one for PCG
+            from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
+                compute_dz_lanes, form_kkt_schur_pallas)
+            from mpcgpu_tpu.ops.pallas.pcg_kernel import pcg_pallas_lanes
+
+            ls = form_kkt_schur_pallas(
+                model, st.X, st.U, goals, xs, st.rho, cfg.timestep,
+                cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
+                cfg.gravity, cfg.cost.hessian, cfg.pcg.preconditioned,
+            )
+            lam_l, pcg_it, hit_max = pcg_pallas_lanes(
+                ls.SL, ls.SD, ls.SU, ls.PL, ls.PD, ls.PU, ls.gamma,
+                st.lam.T, cfg.pcg.max_iter, pcg_exit_tol,
+            )
+            dX, dU = compute_dz_lanes(ls, lam_l)
+            return lam_l.T, pcg_it, hit_max, dX, dU
         kkt = form_kkt(
             model, st.X, st.U, goals, xs, cfg.timestep,
-            cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type, cfg.gravity,
-            cfg.cost.hessian,
+            cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
+            cfg.gravity, cfg.cost.hessian,
         )
         schur = form_schur(kkt, st.rho, preconditioned=cfg.pcg.preconditioned)
         lam_new, pcg_it, hit_max = solve_fn(cfg, schur, st.lam, pcg_exit_tol)
         dX, dU = compute_dz(kkt, schur, lam_new)
+        return lam_new, pcg_it, hit_max, dX, dU
+
+    def body(st: _LoopState) -> _LoopState:
+        lam_new, pcg_it, hit_max, dX, dU = linearize_and_solve(st)
 
         merits = eval_merits(st.X, st.U, dX, dU)
         best = jnp.argmin(merits)
