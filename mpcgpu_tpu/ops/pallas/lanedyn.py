@@ -8,6 +8,14 @@ batch, instead of thousands of individually-scheduled XLA ops.  This is
 the TPU equivalent of the reference's block-level GLASS/GRiD device
 routines (one CUDA block per knot; here one lane per batch element).
 
+Mosaic discipline (hard-won on real hardware):
+  * no value is ever rank-1: row accesses are 2-D slices ``x[i:i+1, :]``
+    (1-D extracts with sublane offsets crash the layout pass);
+  * no scatter/at-updates; unit-vector adds use iota-built masks;
+  * reductions over small leading axes are unrolled adds (row_sum);
+  * masks come from ``broadcasted_iota``, never from captured constants
+    or 1-D ``arange`` broadcasts.
+
 The functions are pure jnp on values, so they trace both inside
 ``pallas_call`` kernels (the intended use) and in plain XLA (for tests).
 Model tables are the same affine sin/cos decompositions used by
@@ -21,84 +29,108 @@ import jax.numpy as jnp
 _EZ = 2
 
 
-def _ez_col(dtype):
-    """(6,1) unit-z mask; Mosaic has no scatter, so 'v.at[2].add(w)'
-    becomes 'v + _ez_col * w[None]'.  Built from iota rather than a
-    literal so Pallas does not see a captured array constant."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
-    return (rows == _EZ).astype(dtype)
+def _r(x, i):
+    """Row i of (d, B) as (1, B) -- never rank-1."""
+    return x[i:i + 1, :]
 
 
 def row_sum(x):
-    """Sum over the leading (small) axis as unrolled adds -> (1, B).
-
-    Mosaic's vector.multi_reduction rejects some offset sublane layouts;
-    explicit row adds always lower.
-    """
+    """Sum over the leading (small) axis as unrolled adds -> (1, B)."""
     acc = x[0:1, :]
     for i in range(1, x.shape[0]):
         acc = acc + x[i:i + 1, :]
     return acc
 
 
+def _ez_col(dtype):
+    """(6,1) unit-z mask built from iota (no captured constants)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
+    return (rows == _EZ).astype(dtype)
+
+
+def _grav_col(gravity, dtype):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
+    return (rows == 5).astype(dtype) * gravity
+
+
 def matvec6(M, v):
     """(6,6,B) @ (6,B) -> (6,B): 6 lane-wide FMAs."""
-    acc = M[:, 0, :] * v[0:1, :]
+    acc = M[:, 0, :] * _r(v, 0)
     for k in range(1, 6):
-        acc = acc + M[:, k, :] * v[k:k + 1, :]
+        acc = acc + M[:, k, :] * _r(v, k)
     return acc
 
 
 def matvec6_T(M, v):
     """(6,6,B)' @ (6,B) -> (6,B)."""
-    acc = M[0, :, :] * v[0:1, :]
+    acc = M[0, :, :] * _r(v, 0)
     for k in range(1, 6):
-        acc = acc + M[k, :, :] * v[k:k + 1, :]
+        acc = acc + M[k, :, :] * _r(v, k)
     return acc
 
 
 def congruence_T(X, A):
     """X' A X for (6,6,B) operands (the articulated-inertia propagation)."""
-    # T1[i] = sum_k X[k,i] * A[k]  -> T1 = X' A
     T1 = [None] * 6
     for i in range(6):
-        acc = X[0, i, :][None, :] * A[0]
+        acc = X[0, i:i + 1, :] * A[0]
         for k in range(1, 6):
-            acc = acc + X[k, i, :][None, :] * A[k]
+            acc = acc + X[k, i:i + 1, :] * A[k]
         T1[i] = acc                      # (6,B): row i of X'A
-    # C[i,j] = sum_k T1[i][k] * X[k,j] -> C = (X'A) X
     rows = []
     for i in range(6):
         acc = T1[i][0:1, :] * X[0]
         for k in range(1, 6):
             acc = acc + T1[i][k:k + 1, :] * X[k]
-        rows.append(acc)                 # (6,B): row i of C
+        rows.append(acc)                 # (6,B): row i of (X'A)X
     return jnp.stack(rows, axis=0)       # (6,6,B)
 
 
 def joint_X(tables, j, sin_q, cos_q):
-    """X_j(q) as (6,6,B) from the affine tables; sin_q/cos_q are (B,)."""
+    """X_j(q) as (6,6,B); sin_q/cos_q are (1,B) rows."""
     Xc, Xs, Xk = tables
     return (
         Xc[j][:, :, None]
-        + sin_q[None, None, :] * Xs[j][:, :, None]
-        + cos_q[None, None, :] * Xk[j][:, :, None]
+        + sin_q[None, :, :] * Xs[j][:, :, None]
+        + cos_q[None, :, :] * Xk[j][:, :, None]
     )
 
 
 def crm_z(v, w):
-    """crm(v) (S w) for S = e_z: spatial cross with (0,0,w,0,0,0)."""
+    """crm(v) (S w) for S = e_z; v (6,B), w (1,B) -> (6,B)."""
     z = jnp.zeros_like(w)
-    return jnp.stack(
-        [v[1] * w, -v[0] * w, z, v[4] * w, -v[3] * w, z], axis=0
+    return jnp.concatenate(
+        [_r(v, 1) * w, -_r(v, 0) * w, z, _r(v, 4) * w, -_r(v, 3) * w, z],
+        axis=0,
+    )
+
+
+def crm(v, m):
+    """Full spatial motion cross product, (6,B)x(6,B) -> (6,B)."""
+    w0, w1, w2 = _r(v, 0), _r(v, 1), _r(v, 2)
+    l0, l1, l2 = _r(v, 3), _r(v, 4), _r(v, 5)
+    m0, m1, m2 = _r(m, 0), _r(m, 1), _r(m, 2)
+    m3, m4, m5 = _r(m, 3), _r(m, 4), _r(m, 5)
+    return jnp.concatenate(
+        [
+            w1 * m2 - w2 * m1,
+            w2 * m0 - w0 * m2,
+            w0 * m1 - w1 * m0,
+            w1 * m5 - w2 * m4 + l1 * m2 - l2 * m1,
+            w2 * m3 - w0 * m5 + l2 * m0 - l0 * m2,
+            w0 * m4 - w1 * m3 + l0 * m1 - l1 * m0,
+        ],
+        axis=0,
     )
 
 
 def crf(v, f):
-    """Force cross product (v x*) f, lane-batched."""
-    w0, w1, w2, l0, l1, l2 = v[0], v[1], v[2], v[3], v[4], v[5]
-    f0, f1, f2, f3, f4, f5 = f[0], f[1], f[2], f[3], f[4], f[5]
-    return jnp.stack(
+    """Force cross product (v x*) f, lane-batched (6,B)x(6,B)."""
+    w0, w1, w2 = _r(v, 0), _r(v, 1), _r(v, 2)
+    l0, l1, l2 = _r(v, 3), _r(v, 4), _r(v, 5)
+    f0, f1, f2 = _r(f, 0), _r(f, 1), _r(f, 2)
+    f3, f4, f5 = _r(f, 3), _r(f, 4), _r(f, 5)
+    return jnp.concatenate(
         [
             w1 * f2 - w2 * f1 + l1 * f5 - l2 * f4,
             w2 * f0 - w0 * f2 + l2 * f3 - l0 * f5,
@@ -117,21 +149,20 @@ def aba_qdd(x_tables, I_tables, q, qd, u, gravity: float = 0.0):
     q, qd, u: (nj, B).  Returns qdd (nj, B).  Mirrors
     models.dynamics.forward_dynamics joint for joint.
     """
-    nj = q.shape[0]
-    B = q.shape[-1]
+    nj, B = q.shape
     dtype = q.dtype
-    sin_q = jnp.sin(q)
-    cos_q = jnp.cos(q)
-    X = [joint_X(x_tables, j, sin_q[j], cos_q[j]) for j in range(nj)]
-    I = [I_tables[j][:, :, None] * jnp.ones((1, 1, B), dtype) for j in range(nj)]
+    sin_q, cos_q = jnp.sin(q), jnp.cos(q)
+    X = [joint_X(x_tables, j, _r(sin_q, j), _r(cos_q, j)) for j in range(nj)]
+    I = [I_tables[j][:, :, None] * jnp.ones((1, 1, B), dtype)
+         for j in range(nj)]
+    ez = _ez_col(dtype)
 
     # pass 1
     v_prev = jnp.zeros((6, B), dtype)
-    v, cvel, pA = [], [], []
+    cvel, pA = [], []
     for j in range(nj):
-        vj = matvec6(X[j], v_prev) + _ez_col(dtype) * qd[j][None, :]
-        v.append(vj)
-        cvel.append(crm_z(vj, qd[j]))
+        vj = matvec6(X[j], v_prev) + ez * _r(qd, j)
+        cvel.append(crm_z(vj, _r(qd, j)))
         pA.append(crf(vj, matvec6(I[j], vj)))
         v_prev = vj
 
@@ -139,48 +170,47 @@ def aba_qdd(x_tables, I_tables, q, qd, u, gravity: float = 0.0):
     IA = list(I)
     Uc, dc, uc = [None] * nj, [None] * nj, [None] * nj
     for j in range(nj - 1, -1, -1):
-        Uj = IA[j][:, _EZ, :]            # (6,B)
-        dj = Uj[_EZ]                     # (B,)
-        uj = u[j] - pA[j][_EZ]
+        Uj = IA[j][:, _EZ, :]                 # (6,B)
+        dj = Uj[_EZ:_EZ + 1, :]               # (1,B)
+        uj = _r(u, j) - pA[j][_EZ:_EZ + 1, :]
         Uc[j], dc[j], uc[j] = Uj, dj, uj
         if j > 0:
             inv_d = 1.0 / dj
-            Ia = IA[j] - Uj[:, None, :] * (Uj * inv_d[None, :])[None, :, :]
-            pa = pA[j] + matvec6(Ia, cvel[j]) + Uj * (uj * inv_d)[None, :]
+            Ia = IA[j] - Uj[:, None, :] * (Uj * inv_d)[None, :, :]
+            pa = pA[j] + matvec6(Ia, cvel[j]) + Uj * (uj * inv_d)
             IA[j - 1] = IA[j - 1] + congruence_T(X[j], Ia)
             pA[j - 1] = pA[j - 1] + matvec6_T(X[j], pa)
 
     # pass 3
-    a_prev = jnp.full((6, B), 0.0, dtype)
+    a_prev = jnp.zeros((6, B), dtype)
     if gravity:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
-        a_prev = a_prev + (rows == 5).astype(dtype) * gravity
+        a_prev = a_prev + _grav_col(gravity, dtype)
     qdd = []
-    ez = _ez_col(dtype)
     for j in range(nj):
         aj = matvec6(X[j], a_prev) + cvel[j]
-        qdd_j = (uc[j][None, :] - row_sum(Uc[j] * aj)) / dc[j][None, :]
+        qdd_j = (uc[j] - row_sum(Uc[j] * aj)) / dc[j]
         qdd.append(qdd_j)
         a_prev = aj + ez * qdd_j
     return jnp.concatenate(qdd, axis=0)
 
 
 def hom4(tables, j, sin_q, cos_q):
+    """H_j(q) as (4,4,B); sin_q/cos_q are (1,B) rows."""
     Hc, Hs, Hk = tables
     return (
         Hc[j][:, :, None]
-        + sin_q[None, None, :] * Hs[j][:, :, None]
-        + cos_q[None, None, :] * Hk[j][:, :, None]
+        + sin_q[None, :, :] * Hs[j][:, :, None]
+        + cos_q[None, :, :] * Hk[j][:, :, None]
     )
 
 
 def matmul4(A, B):
-    """(4,4,B) @ (4,4,B): 16 lane-wide FMAs per output row block."""
+    """(4,4,B) @ (4,4,B): 16 lane-wide FMAs."""
     rows = []
     for i in range(4):
-        acc = A[i, 0, :][None, :] * B[0]
+        acc = A[i, 0:1, :] * B[0]
         for k in range(1, 4):
-            acc = acc + A[i, k, :][None, :] * B[k]
+            acc = acc + A[i, k:k + 1, :] * B[k]
         rows.append(acc)
     return jnp.stack(rows, axis=0)
 
@@ -188,11 +218,10 @@ def matmul4(A, B):
 def fk_ee_xyz(h_tables, q):
     """End-effector xyz, lane-batched: (nj, B) -> (3, B)."""
     nj = q.shape[0]
-    sin_q = jnp.sin(q)
-    cos_q = jnp.cos(q)
-    T = hom4(h_tables, 0, sin_q[0], cos_q[0])
+    sin_q, cos_q = jnp.sin(q), jnp.cos(q)
+    T = hom4(h_tables, 0, _r(sin_q, 0), _r(cos_q, 0))
     for j in range(1, nj):
-        T = matmul4(T, hom4(h_tables, j, sin_q[j], cos_q[j]))
+        T = matmul4(T, hom4(h_tables, j, _r(sin_q, j), _r(cos_q, j)))
     return T[:3, 3, :]
 
 
@@ -205,9 +234,9 @@ def lane_matmul(A, B):
     m, k, _ = A.shape
     rows = []
     for i in range(m):
-        acc = A[i, 0, :][None, :] * B[0]
+        acc = A[i, 0:1, :] * B[0]
         for t in range(1, k):
-            acc = acc + A[i, t, :][None, :] * B[t]
+            acc = acc + A[i, t:t + 1, :] * B[t]
         rows.append(acc)
     return jnp.stack(rows, axis=0)
 
@@ -217,9 +246,9 @@ def lane_matmul_T1(A, B):
     k, m, _ = A.shape
     rows = []
     for i in range(m):
-        acc = A[0, i, :][None, :] * B[0]
+        acc = A[0, i:i + 1, :] * B[0]
         for t in range(1, k):
-            acc = acc + A[t, i, :][None, :] * B[t]
+            acc = acc + A[t, i:i + 1, :] * B[t]
         rows.append(acc)
     return jnp.stack(rows, axis=0)
 
@@ -227,13 +256,11 @@ def lane_matmul_T1(A, B):
 def lane_matmul_T2(A, B):
     """A @ B' for (m,k,B),(n,k,B) -> (m,n,B)."""
     m, k, _ = A.shape
-    n = B.shape[0]
     rows = []
     for i in range(m):
-        cols = []
         acc = None
         for t in range(k):
-            term = A[i, t, :][None, :] * B[:, t, :]
+            term = A[i, t:t + 1, :] * B[:, t, :]
             acc = term if acc is None else acc + term
         rows.append(acc)
     return jnp.stack(rows, axis=0)
@@ -242,18 +269,18 @@ def lane_matmul_T2(A, B):
 def lane_matvec(A, v):
     """(m,k,B) @ (k,B) -> (m,B)."""
     k = v.shape[0]
-    acc = A[:, 0, :] * v[0:1, :]
+    acc = A[:, 0, :] * _r(v, 0)
     for t in range(1, k):
-        acc = acc + A[:, t, :] * v[t:t + 1, :]
+        acc = acc + A[:, t, :] * _r(v, t)
     return acc
 
 
 def lane_matvec_T(A, v):
     """(k,m,B)' @ (k,B) -> (m,B)."""
     k = v.shape[0]
-    acc = A[0, :, :] * v[0:1, :]
+    acc = A[0, :, :] * _r(v, 0)
     for t in range(1, k):
-        acc = acc + A[t, :, :] * v[t:t + 1, :]
+        acc = acc + A[t, :, :] * _r(v, t)
     return acc
 
 
@@ -263,7 +290,9 @@ def lane_transpose(A):
 
 
 def lane_eye(n, B, dtype):
-    return jnp.eye(n, dtype=dtype)[:, :, None] * jnp.ones((1, 1, B), dtype)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    return (i == j).astype(dtype) * jnp.ones((1, 1, B), dtype)
 
 
 def _inv1_lane(A):
@@ -271,31 +300,26 @@ def _inv1_lane(A):
 
 
 def _inv2_lane(A):
-    a, b = A[0, 0], A[0, 1]
-    c, d = A[1, 0], A[1, 1]
+    a, b = A[0, 0:1, :], A[0, 1:2, :]
+    c, d = A[1, 0:1, :], A[1, 1:2, :]
     det = a * d - b * c
-    return jnp.stack(
-        [jnp.stack([d, -b], 0), jnp.stack([-c, a], 0)], 0
-    ) / det[None, None, :]
+    top = jnp.concatenate([d, -b], axis=0)
+    bot = jnp.concatenate([-c, a], axis=0)
+    return jnp.stack([top, bot], axis=0) / det[None, :, :]
 
 
 def _inv3_lane(A):
-    a, b, c = A[0, 0], A[0, 1], A[0, 2]
-    d, e, f = A[1, 0], A[1, 1], A[1, 2]
-    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    a, b, c = A[0, 0:1, :], A[0, 1:2, :], A[0, 2:3, :]
+    d, e, f = A[1, 0:1, :], A[1, 1:2, :], A[1, 2:3, :]
+    g, h, i = A[2, 0:1, :], A[2, 1:2, :], A[2, 2:3, :]
     co_a = e * i - f * h
     co_b = -(d * i - f * g)
     co_c = d * h - e * g
     det = a * co_a + b * co_b + c * co_c
-    adj = jnp.stack(
-        [
-            jnp.stack([co_a, -(b * i - c * h), b * f - c * e], 0),
-            jnp.stack([co_b, a * i - c * g, -(a * f - c * d)], 0),
-            jnp.stack([co_c, -(a * h - b * g), a * e - b * d], 0),
-        ],
-        0,
-    )
-    return adj / det[None, None, :]
+    r0 = jnp.concatenate([co_a, -(b * i - c * h), b * f - c * e], axis=0)
+    r1 = jnp.concatenate([co_b, a * i - c * g, -(a * f - c * d)], axis=0)
+    r2 = jnp.concatenate([co_c, -(a * h - b * g), a * e - b * d], axis=0)
+    return jnp.stack([r0, r1, r2], axis=0) / det[None, :, :]
 
 
 def spd_inverse_lane(A):
@@ -324,93 +348,78 @@ def spd_inverse_lane(A):
 # lane-batched RNEA / CRBA / FK jacobian (for the KKT kernel)
 # ---------------------------------------------------------------------------
 
-def crm(v, m):
-    """Full spatial motion cross product, lane-batched (6,B)x(6,B)."""
-    w0, w1, w2, l0, l1, l2 = v
-    m0, m1, m2, m3, m4, m5 = m
-    return jnp.stack(
-        [
-            w1 * m2 - w2 * m1,
-            w2 * m0 - w0 * m2,
-            w0 * m1 - w1 * m0,
-            w1 * m5 - w2 * m4 + l1 * m2 - l2 * m1,
-            w2 * m3 - w0 * m5 + l2 * m0 - l0 * m2,
-            w0 * m4 - w1 * m3 + l0 * m1 - l1 * m0,
-        ],
-        axis=0,
-    )
-
-
 def rnea_lane(x_tables, I_tables, q, qd, qdd, gravity: float = 0.0):
-    """Lane-batched RNEA: (nj,B) inputs -> tau (nj,B).
-
-    Mirrors models.dynamics.rnea; written with jnp.where-free straight-line
-    ops so it also serves as the base for in-kernel jvp tangents.
-    """
+    """Lane-batched RNEA: (nj,B) inputs -> tau (nj,B)."""
     nj, B = q.shape
     dtype = q.dtype
     sin_q, cos_q = jnp.sin(q), jnp.cos(q)
-    X = [joint_X(x_tables, j, sin_q[j], cos_q[j]) for j in range(nj)]
+    X = [joint_X(x_tables, j, _r(sin_q, j), _r(cos_q, j)) for j in range(nj)]
     I = [I_tables[j][:, :, None].astype(dtype) for j in range(nj)]
+    ez = _ez_col(dtype)
 
     v_prev = jnp.zeros((6, B), dtype)
     a_prev = jnp.zeros((6, B), dtype)
     if gravity:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
-        a_prev = a_prev + (rows == 5).astype(dtype) * gravity
+        a_prev = a_prev + _grav_col(gravity, dtype)
     fs = []
-    ez = _ez_col(dtype)
     for j in range(nj):
-        vj = matvec6(X[j], v_prev) + ez * qd[j][None, :]
-        aj = matvec6(X[j], a_prev) + ez * qdd[j][None, :]
-        aj = aj + crm_z(vj, qd[j])
+        vj = matvec6(X[j], v_prev) + ez * _r(qd, j)
+        aj = matvec6(X[j], a_prev) + ez * _r(qdd, j)
+        aj = aj + crm_z(vj, _r(qd, j))
         fj = lane_matvec(I[j], aj) + crf(vj, lane_matvec(I[j], vj))
         fs.append(fj)
         v_prev, a_prev = vj, aj
     tau = [None] * nj
     f = fs[nj - 1]
     for j in range(nj - 1, -1, -1):
-        tau[j] = f[_EZ]
+        tau[j] = f[_EZ:_EZ + 1, :]
         if j > 0:
             f = fs[j - 1] + matvec6_T(X[j], f)
-    return jnp.stack(tau, axis=0)
+    return jnp.concatenate(tau, axis=0)
 
 
 def crba_M_lane(x_tables, I_tables, q):
-    """Lane-batched CRBA mass matrix: (nj,B) -> (nj,nj,B)."""
+    """Lane-batched CRBA mass matrix: (nj,B) -> (nj,nj,B).
+
+    Per-row propagated composite forces with a statically-unrolled sweep
+    (no data-dependent masking -- Mosaic-safe)."""
     nj, B = q.shape
     dtype = q.dtype
     sin_q, cos_q = jnp.sin(q), jnp.cos(q)
-    X = [joint_X(x_tables, j, sin_q[j], cos_q[j]) for j in range(nj)]
+    X = [joint_X(x_tables, j, _r(sin_q, j), _r(cos_q, j)) for j in range(nj)]
     Ic = [I_tables[j][:, :, None].astype(dtype) * jnp.ones((1, 1, B), dtype)
           for j in range(nj)]
     for j in range(nj - 1, 0, -1):
         Ic[j - 1] = Ic[j - 1] + congruence_T(X[j], Ic[j])
-    # F[i] = Ic_i S propagated down; masked backward column sweep
-    F = jnp.stack([Ic[i][:, _EZ, :] for i in range(nj)], axis=0)  # (nj,6,B)
-    diag = F[:, _EZ, :]                                            # (nj,B)
-    cols = [jnp.zeros((nj, B), dtype)] * nj
+
+    F = [Ic[i][:, _EZ, :] for i in range(nj)]          # list of (6,B)
+    diag = [F[i][_EZ:_EZ + 1, :] for i in range(nj)]   # list of (1,B)
+    zero_row = jnp.zeros((1, B), dtype)
+    cols = [[zero_row for _ in range(nj)] for _ in range(nj)]  # [i][j]
     for j in range(nj - 1, 0, -1):
-        Fp = jnp.stack([matvec6_T(X[j], F[i]) for i in range(nj)], axis=0)
-        live = (jnp.arange(nj) >= j)[:, None, None]
-        F = jnp.where(live, Fp, F)
-        cols[j - 1] = jnp.where(live[:, 0, :], F[:, _EZ, :], 0.0)
-    L = jnp.stack(cols, axis=1)  # (nj, nj, B) strictly lower
-    M = L + lane_transpose(L)
-    idx = jnp.arange(nj)
-    return M + (idx[:, None] == idx[None, :])[:, :, None] * diag[:, None, :]
+        for i in range(j, nj):                         # static unroll
+            F[i] = matvec6_T(X[j], F[i])
+            cols[i][j - 1] = F[i][_EZ:_EZ + 1, :]
+    rows = []
+    for i in range(nj):
+        row_entries = []
+        for j in range(nj):
+            if j < i:
+                row_entries.append(cols[i][j])
+            elif j == i:
+                row_entries.append(diag[i])
+            else:
+                row_entries.append(cols[j][i])         # symmetry
+        rows.append(jnp.concatenate(row_entries, axis=0))  # (nj,B)
+    return jnp.stack(rows, axis=0)                     # (nj,nj,B)
 
 
 def fk_ee_and_jac(h_tables, dh_tables, q):
-    """EE xyz (3,B) and position Jacobian (3,nj,B), lane-batched.
-
-    dT/dq_j = (H_0..H_{j-1}) dH_j (H_{j+1}..H_{nj-1}) via prefix/suffix
-    products (same math as models.dynamics.ee_pos_and_jac).
-    """
+    """EE xyz (3,B) and position Jacobian (3,nj,B), lane-batched."""
     nj, B = q.shape
     sin_q, cos_q = jnp.sin(q), jnp.cos(q)
-    H = [hom4(h_tables, j, sin_q[j], cos_q[j]) for j in range(nj)]
-    dH = [hom4(dh_tables, j, sin_q[j], cos_q[j]) for j in range(nj)]
+    H = [hom4(h_tables, j, _r(sin_q, j), _r(cos_q, j)) for j in range(nj)]
+    dH = [hom4(dh_tables, j, _r(sin_q, j), _r(cos_q, j)) for j in range(nj)]
     prefix = [None] * (nj + 1)
     prefix[0] = lane_eye(4, B, q.dtype)
     for j in range(nj):
