@@ -176,7 +176,13 @@ def aba_qdd(x_tables, I_tables, q, qd, u, gravity: float = 0.0):
         Uc[j], dc[j], uc[j] = Uj, dj, uj
         if j > 0:
             inv_d = 1.0 / dj
-            Ia = IA[j] - Uj[:, None, :] * (Uj * inv_d)[None, :, :]
+            UjD = Uj * inv_d
+            # outer product built row by row: the (6,1,B)x(1,6,B) broadcast
+            # multiply crashes Mosaic's layout pass at unaligned lane counts
+            outer = jnp.stack(
+                [Uj[i:i + 1, :] * UjD for i in range(6)], axis=0
+            )
+            Ia = IA[j] - outer
             pa = pA[j] + matvec6(Ia, cvel[j]) + Uj * (uj * inv_d)
             IA[j - 1] = IA[j - 1] + congruence_T(X[j], Ia)
             pA[j - 1] = pA[j - 1] + matvec6_T(X[j], pa)

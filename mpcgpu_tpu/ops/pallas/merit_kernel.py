@@ -29,6 +29,7 @@ from mpcgpu_tpu.ops.pallas import lanedyn
 def _merit_kernel(nq: int, dt: float, mu: float, qd_cost: float,
                   r_cost: float, integrator_type: int, gravity: float,
                   xc_ref, uc_ref, goals_ref, xs_ref, msk_last_ref, msk0_ref,
+                  msk_valid_ref,
                   hx_c, hx_s, hx_k, xx_c, xx_s, xx_k, i_ref,
                   out_ref):
     Xc = xc_ref[:]                      # (nx, B) candidate states
@@ -37,6 +38,7 @@ def _merit_kernel(nq: int, dt: float, mu: float, qd_cost: float,
     xs = xs_ref[:]                      # (nx, 1)
     m_last = msk_last_ref[:]            # (1, B): 0 at k = N-1 lanes
     m0 = msk0_ref[:]                    # (1, B): 1 at k = 0 lanes
+    m_valid = msk_valid_ref[:]          # (1, B): 0 on alignment padding
 
     q, qd = Xc[:nq], Xc[nq:]
 
@@ -63,7 +65,7 @@ def _merit_kernel(nq: int, dt: float, mu: float, qd_cost: float,
     # initial-state violation (merit.cuh:69-77)
     c0 = lanedyn.row_sum(jnp.abs(Xc - xs)) * m0
 
-    out_ref[:] = cost + mu * (defect + c0)
+    out_ref[:] = (cost + mu * (defect + c0)) * m_valid
 
 
 @functools.partial(
@@ -102,6 +104,19 @@ def line_search_merits_pallas(model: RobotModel, X, U, dX, dU, num_alphas: int,
     m_last = (k_idx < n - 1).astype(X.dtype)[None, :]
     m0 = (k_idx == 0).astype(X.dtype)[None, :]
 
+    # pad the lane batch to a multiple of 128: Mosaic mishandles several
+    # constructs at unaligned lane counts, and aligned tiles are faster.
+    B = A * n
+    Bp = -(-B // 128) * 128
+    pad = Bp - B
+    if pad:
+        padv = lambda a: jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1)
+        Xc, Uc, goals_rep = padv(Xc), padv(Uc), padv(goals_rep)
+        m_last, m0 = padv(m_last), padv(m0)
+    m_valid = jnp.concatenate(
+        [jnp.ones((1, B), X.dtype), jnp.zeros((1, pad), X.dtype)], axis=1)
+
     kern = functools.partial(
         _merit_kernel, nq, float(dt), float(mu), float(qd_cost),
         float(r_cost), int(integrator_type), float(gravity),
@@ -109,12 +124,12 @@ def line_search_merits_pallas(model: RobotModel, X, U, dX, dU, num_alphas: int,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     contrib = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((1, A * n), X.dtype),
-        in_specs=[vmem] * 13,
+        out_shape=jax.ShapeDtypeStruct((1, Bp), X.dtype),
+        in_specs=[vmem] * 14,
         out_specs=vmem,
         interpret=interpret,
     )(
-        Xc, Uc, goals_rep, xs[:, None], m_last, m0,
+        Xc, Uc, goals_rep, xs[:, None], m_last, m0, m_valid,
         model.Hc, model.Hs, model.Hk, model.Xc, model.Xs, model.Xk, model.I,
     )
-    return contrib.reshape(A, n).sum(axis=1)  # (A,): candidates + base merit
+    return contrib[:, :B].reshape(A, n).sum(axis=1)  # (A,): candidates + base
