@@ -48,6 +48,17 @@ def _ez_col(dtype):
     return (rows == _EZ).astype(dtype)
 
 
+def materialize(x, B):
+    """Force a real (.., B)-wide value from a (.., 1) broadcastable one.
+
+    Adds computed (iota-derived) zeros: Mosaic keeps lazily-broadcast
+    constants in a replicated layout, and extracting a middle index from
+    such a value crashes the layout pass at multi-tile lane widths.
+    """
+    z = (jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) < 0).astype(x.dtype)
+    return x + z
+
+
 def _grav_col(gravity, dtype):
     rows = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
     return (rows == 5).astype(dtype) * gravity
@@ -153,7 +164,7 @@ def aba_qdd(x_tables, I_tables, q, qd, u, gravity: float = 0.0):
     dtype = q.dtype
     sin_q, cos_q = jnp.sin(q), jnp.cos(q)
     X = [joint_X(x_tables, j, _r(sin_q, j), _r(cos_q, j)) for j in range(nj)]
-    I = [I_tables[j][:, :, None] * jnp.ones((1, 1, B), dtype)
+    I = [materialize(I_tables[j][:, :, None].astype(dtype), B)
          for j in range(nj)]
     ez = _ez_col(dtype)
 
@@ -393,7 +404,7 @@ def crba_M_lane(x_tables, I_tables, q):
     dtype = q.dtype
     sin_q, cos_q = jnp.sin(q), jnp.cos(q)
     X = [joint_X(x_tables, j, _r(sin_q, j), _r(cos_q, j)) for j in range(nj)]
-    Ic = [I_tables[j][:, :, None].astype(dtype) * jnp.ones((1, 1, B), dtype)
+    Ic = [materialize(I_tables[j][:, :, None].astype(dtype), B)
           for j in range(nj)]
     for j in range(nj - 1, 0, -1):
         Ic[j - 1] = Ic[j - 1] + congruence_T(X[j], Ic[j])
