@@ -153,6 +153,24 @@ def _tracking_error(model: RobotModel, xs, goal0):
     return jnp.abs(ee[:3] - goal0[:3]).sum()
 
 
+def _rollout_and_error(model: RobotModel, cfg: SolverConfig, xs, U_prev,
+                       goals, offset_us, sim_time_us, max_substeps: int):
+    """Plant rollout + tracking-error probe; fused Pallas kernel when the
+    solver runs fused stages (one kernel instead of ~10 sequential tiny
+    ABA evaluations)."""
+    if cfg.pallas_stages:
+        from mpcgpu_tpu.ops.pallas.rollout_kernel import plant_rollout_pallas
+
+        return plant_rollout_pallas(
+            model, xs, U_prev, goals[0], offset_us, sim_time_us,
+            cfg.timestep, cfg.sim_step_time, max_substeps, cfg.gravity,
+        )
+    xs = _plant_rollout(model, cfg, xs, U_prev,
+                        jnp.asarray(offset_us, xs.dtype),
+                        jnp.asarray(sim_time_us, xs.dtype), max_substeps)
+    return xs, _tracking_error(model, xs, goals[0])
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_substeps"))
 def _mpc_update(model: RobotModel, cfg: SolverConfig, xs, X, U, goals, lam,
                 U_prev, xu_traj, ee_traj, traj_offset, offset_us, sim_time_us,
@@ -163,10 +181,8 @@ def _mpc_update(model: RobotModel, cfg: SolverConfig, xs, X, U, goals, lam,
     attached TPUs, where each eager op / host->device upload costs
     milliseconds while a jitted dispatch costs microseconds.
     """
-    xs = _plant_rollout(model, cfg, xs, U_prev,
-                        jnp.asarray(offset_us, X.dtype),
-                        jnp.asarray(sim_time_us, X.dtype), max_substeps)
-    err = _tracking_error(model, xs, goals[0])
+    xs, err = _rollout_and_error(model, cfg, xs, U_prev, goals, offset_us,
+                                 sim_time_us, max_substeps)
 
     Xs, Us, Gs, Ls = _shift_horizon(X, U, goals, lam, xu_traj, ee_traj,
                                     traj_offset)
@@ -360,10 +376,8 @@ def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
         X, U, lam, rho = res.X, res.U, res.lam, res.rho
 
         offset_us = jnp.where(first, 0.0, period)
-        xs = _plant_rollout(model, cfg, xs, U_prev,
-                            jnp.asarray(offset_us, X.dtype),
-                            jnp.asarray(period, X.dtype), max_substeps)
-        err = _tracking_error(model, xs, goals[0])
+        xs, err = _rollout_and_error(model, cfg, xs, U_prev, goals,
+                                     offset_us, period, max_substeps)
         U_prev = U  # pre-shift plan snapshot (mpcsim.cuh:337)
 
         Xs, Us, Gs, Ls = _shift_horizon(X, U, goals, lam, xu_traj, ee_traj,
