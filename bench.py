@@ -37,12 +37,17 @@ def main() -> int:
     n = 64
     budget_us = 2000.0
     n_updates = 256          # ~0.5 s of tracking at 500 Hz
-    linsys = "pcg_pallas"
+    linsys = "pcg"           # fused stages carry their own PCG kernel
 
     fixtures = Path(__file__).resolve().parent / "tests" / "fixtures"
     xu, ee = load_fixture_pair(fixtures, 0, 0)
     model = iiwa14()
-    cfg = SolverConfig.for_knots(n, sqp_max_iter=4)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        SolverConfig.for_knots(n, sqp_max_iter=4),
+        pallas_stages=True,   # fused lane-batched stage kernels
+    )
 
     X, U, goals, xs = horizon_slices(xu, ee, n)
     X = jnp.asarray(X); U = jnp.asarray(U)
