@@ -32,6 +32,31 @@ def knot_cost(model: RobotModel, qd_cost, r_cost, x, u, goal, use_control):
     return cost + use_control * 0.5 * r_cost * (u @ u)
 
 
+def joint_space_knot_cost(q_cost, qd_cost, r_cost, x, u, x_ref, use_control):
+    """Joint-space tracking variant (the reference's unused second plant
+    adapter, reference include/dynamics/iiwa/iiwa_plant.cuh:40-332):
+    quadratic tracking of a precomputed state trajectory with weight
+    Q_COST on positions instead of end-effector error."""
+    nq = x.shape[0] // 2
+    dq = x[:nq] - x_ref[:nq]
+    dqd = x[nq:] - x_ref[nq:]
+    cost = 0.5 * q_cost * (dq @ dq) + 0.5 * qd_cost * (dqd @ dqd)
+    return cost + use_control * 0.5 * r_cost * (u @ u)
+
+
+def joint_space_gradient_and_hessian(q_cost, qd_cost, r_cost, x, u, x_ref):
+    """Exact (diagonal) derivatives of the joint-space tracking cost."""
+    nq = x.shape[0] // 2
+    nx = x.shape[0]
+    g = jnp.concatenate(
+        [q_cost * (x[:nq] - x_ref[:nq]), qd_cost * (x[nq:] - x_ref[nq:])]
+    )
+    w = jnp.concatenate([jnp.full(nq, q_cost), jnp.full(nq, qd_cost)])
+    Q = jnp.diag(w.astype(x.dtype))
+    R = r_cost * jnp.eye(u.shape[0], dtype=x.dtype)
+    return Q, g, R, r_cost * u
+
+
 def trajectory_cost(model, qd_cost, r_cost, X, U, goals):
     """Sum of knot costs for X (N, nx), U (N-1, nu), goals (N, 6)."""
     n = X.shape[0]

@@ -158,3 +158,27 @@ def register_backend(interpret: bool = None):
 
 
 register_backend()
+
+
+def check_pcg_vmem_fit(knot_points: int, state_size: int,
+                       vmem_budget_bytes: int = 12 * 2**20,
+                       dtype_bytes: int = 4) -> int:
+    """VMEM-residency check for the fused PCG kernel.
+
+    Analogue of the reference's cooperative-launch occupancy precheck
+    (``checkPcgOccupancy``, called at reference examples/track_iiwa_pcg.cu:24):
+    the fused kernel needs the six band tensors plus ~6 CG vectors live in
+    VMEM; raise before launching a configuration that cannot fit.
+    Returns the estimated byte footprint.
+    """
+    bands = 6 * knot_points * state_size * state_size * dtype_bytes
+    vectors = 6 * knot_points * state_size * dtype_bytes
+    need = bands + vectors
+    if need > vmem_budget_bytes:
+        raise ValueError(
+            f"fused PCG working set {need/2**20:.1f} MiB exceeds the "
+            f"{vmem_budget_bytes/2**20:.1f} MiB VMEM budget at "
+            f"N={knot_points}, s={state_size}; shard the horizon "
+            f"(parallel/pcg_sharded) or use the while_loop backend"
+        )
+    return need

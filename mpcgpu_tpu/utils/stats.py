@@ -51,3 +51,11 @@ def print_stats(values: Sequence[float], name: str = "", bins: int = 10) -> str:
             bar = "#" * int(round(40 * h / peak))
             print(f"  [{lo:10.4g}, {hi:10.4g}) {h:6d} {bar}")
     return f"{name}," + stats_csv_row(values)
+
+
+def dump_matrix(path, mat, fmt: str = "%.9g") -> None:
+    """Write a matrix to a text file for offline inspection.
+
+    Debug affordance matching ``write_device_matrix_to_file``
+    (reference include/utils/matrix.cuh:241-266)."""
+    np.savetxt(path, np.asarray(mat), fmt=fmt, delimiter=",")
