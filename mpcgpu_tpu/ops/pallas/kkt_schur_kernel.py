@@ -101,12 +101,15 @@ def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     dfdqd = jnp.stack(dqdd_cols[nq:], axis=1)
 
     # ---- integrator gradient (integrator.cuh:61-100)
-    eye_q = jnp.eye(nq, dtype=dtype)[:, :, None]
-    zer_q = jnp.zeros((nq, nq, 1), dtype) * jnp.zeros((1, 1, n), dtype)
+    # constant tensors are materialized (iota-zero add): Mosaic crashes
+    # extracting from replicated (lazily-broadcast) constants at
+    # multi-tile lane widths (see lanedyn.materialize)
+    eye_q = ld.materialize(jnp.eye(nq, dtype=dtype)[:, :, None], n)
+    zer_q = ld.materialize(jnp.zeros((nq, nq, 1), dtype), n)
     if integrator_type == 0:
-        A_top = jnp.concatenate([eye_q + zer_q, dt * eye_q + zer_q], axis=1)
+        A_top = jnp.concatenate([eye_q, dt * eye_q], axis=1)
         A_bot = jnp.concatenate([dt * dfdq, eye_q + dt * dfdqd], axis=1)
-        B_top = jnp.zeros((nq, nu, n), dtype)
+        B_top = ld.materialize(jnp.zeros((nq, nu, 1), dtype), n)
         B_bot = dt * Minv
         qn = q + dt * qd
         qdn = qd + dt * qdd
@@ -141,16 +144,15 @@ def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
         Q_pos = ld.lane_matmul_T1(J, J)
     # Q = [[Q_pos, 0], [0, qd_cost I]]  (plant :358-368), built by
     # concatenation -- Mosaic has no in-kernel scatter/update-slice.
-    eye_x = jnp.eye(nx, dtype=dtype)[:, :, None]
-    zq = jnp.zeros((nq, nq, n), dtype)
-    qd_eye = qd_cost * (jnp.eye(nq, dtype=dtype)[:, :, None]
-                        * jnp.ones((1, 1, n), dtype))
+    eye_x = ld.materialize(jnp.eye(nx, dtype=dtype)[:, :, None], n)
+    zq = zer_q
+    qd_eye = qd_cost * eye_q
     Q = jnp.concatenate(
         [jnp.concatenate([Q_pos, zq], axis=1),
          jnp.concatenate([zq, qd_eye], axis=1)],
         axis=0,
     )
-    eye_u = jnp.eye(nu, dtype=dtype)[:, :, None]
+    eye_u = ld.materialize(jnp.eye(nu, dtype=dtype)[:, :, None], n)
     R = r_cost * (eye_u * jnp.ones((1, 1, n), dtype))
 
     # ---- regularize + invert (utils/matrix.cuh Gauss-Jordan equivalent)
@@ -184,9 +186,9 @@ def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
         ) * mN
         PD = theta_inv
     else:
-        PD = eye_x * jnp.ones((1, 1, n), dtype)
-        PL = jnp.zeros_like(theta)
-        PU = jnp.zeros_like(theta)
+        PD = eye_x
+        PL = theta * 0.0
+        PU = theta * 0.0
 
     sl_o[:] = phi
     sd_o[:] = theta
