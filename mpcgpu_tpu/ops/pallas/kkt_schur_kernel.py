@@ -82,7 +82,7 @@ def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     # ---- forward dynamics + gradient (reference fd_and_gradient comp.)
     M = ld.crba_M_lane(x_tab, I_tab, q)
     Minv = ld.spd_inverse_lane(M)
-    bias = ld.rnea_lane(x_tab, I_tab, q, qd, jnp.zeros_like(q), gravity)
+    bias = ld.rnea_lane(x_tab, I_tab, q, qd, q * 0.0, gravity)
     qdd = ld.lane_matvec(Minv, U - bias)
 
     def id_tau(qq, qqd):
@@ -93,8 +93,10 @@ def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     dqdd_cols = []
     for j in range(2 * nq):
         ej = (rows_q == (j % nq)).astype(dtype) * jnp.ones((1, n), dtype)
-        tq = ej if j < nq else jnp.zeros((nq, n), dtype)
-        tqd = ej if j >= nq else jnp.zeros((nq, n), dtype)
+        # tangent selectors stay computed values (ej * 0.0), never zeros
+        # constants: Mosaic crashes row-extracting replicated constants
+        tq = ej * (1.0 if j < nq else 0.0)
+        tqd = ej * (0.0 if j < nq else 1.0)
         _, dtau_j = jax.jvp(id_tau, (q, qd), (tq, tqd))
         dqdd_cols.append(-ld.lane_matvec(Minv, dtau_j))     # (nq, N)
     dfdq = jnp.stack(dqdd_cols[:nq], axis=1)                # (nq, nq, N)

@@ -169,7 +169,7 @@ def aba_qdd(x_tables, I_tables, q, qd, u, gravity: float = 0.0):
     ez = _ez_col(dtype)
 
     # pass 1
-    v_prev = jnp.zeros((6, B), dtype)
+    v_prev = materialize(jnp.zeros((6, 1), dtype), B)
     cvel, pA = [], []
     for j in range(nj):
         vj = matvec6(X[j], v_prev) + ez * _r(qd, j)
@@ -199,7 +199,7 @@ def aba_qdd(x_tables, I_tables, q, qd, u, gravity: float = 0.0):
             pA[j - 1] = pA[j - 1] + matvec6_T(X[j], pa)
 
     # pass 3
-    a_prev = jnp.zeros((6, B), dtype)
+    a_prev = materialize(jnp.zeros((6, 1), dtype), B)
     if gravity:
         a_prev = a_prev + _grav_col(gravity, dtype)
     qdd = []
@@ -374,8 +374,8 @@ def rnea_lane(x_tables, I_tables, q, qd, qdd, gravity: float = 0.0):
     I = [I_tables[j][:, :, None].astype(dtype) for j in range(nj)]
     ez = _ez_col(dtype)
 
-    v_prev = jnp.zeros((6, B), dtype)
-    a_prev = jnp.zeros((6, B), dtype)
+    v_prev = materialize(jnp.zeros((6, 1), dtype), B)
+    a_prev = materialize(jnp.zeros((6, 1), dtype), B)
     if gravity:
         a_prev = a_prev + _grav_col(gravity, dtype)
     fs = []
