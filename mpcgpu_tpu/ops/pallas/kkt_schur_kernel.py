@@ -85,19 +85,16 @@ def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     bias = ld.rnea_lane(x_tab, I_tab, q, qd, q * 0.0, gravity)
     qdd = ld.lane_matvec(Minv, U - bias)
 
-    def id_tau(qq, qqd):
-        return ld.rnea_lane(x_tab, I_tab, qq, qqd, qdd, gravity)
-
     # 2*nq tangent pushes: dtau/d(q,qd) columns, composed to dqdd = -Minv dtau
+    # (hand-written forward mode -- see lanedyn.rnea_lane_jvp)
     rows_q = jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0)
     dqdd_cols = []
     for j in range(2 * nq):
         ej = (rows_q == (j % nq)).astype(dtype) * jnp.ones((1, n), dtype)
-        # tangent selectors stay computed values (ej * 0.0), never zeros
-        # constants: Mosaic crashes row-extracting replicated constants
         tq = ej * (1.0 if j < nq else 0.0)
         tqd = ej * (0.0 if j < nq else 1.0)
-        _, dtau_j = jax.jvp(id_tau, (q, qd), (tq, tqd))
+        _, dtau_j = ld.rnea_lane_jvp(x_tab, I_tab, q, qd, qdd, tq, tqd,
+                                     gravity)
         dqdd_cols.append(-ld.lane_matvec(Minv, dtau_j))     # (nq, N)
     dfdq = jnp.stack(dqdd_cols[:nq], axis=1)                # (nq, nq, N)
     dfdqd = jnp.stack(dqdd_cols[nq:], axis=1)

@@ -448,3 +448,61 @@ def fk_ee_and_jac(h_tables, dh_tables, q):
     cols = [matmul4(matmul4(prefix[j], dH[j]), suffix[j + 1])[:3, 3, :]
             for j in range(nj)]
     return prefix[nj][:3, 3, :], jnp.stack(cols, axis=1)  # (3,B), (3,nj,B)
+
+
+def rnea_lane_jvp(x_tables, I_tables, q, qd, qdd, tq, tqd,
+                  gravity: float = 0.0):
+    """Hand-written forward-mode RNEA: (tau, dtau) for tangents (tq, tqd)
+    at fixed qdd.
+
+    Equivalent to jax.jvp of rnea_lane, but with every tangent explicitly
+    materialized -- jvp's symbolic-zero instantiation creates replicated
+    zero constants whose row extraction crashes Mosaic at multi-tile lane
+    widths.  X_j depends on q_j as X = Xc + sin(q) Xs + cos(q) Xk, so
+    dX_j = tq_j * (cos(q_j) Xs - sin(q_j) Xk).
+    """
+    nj, B = q.shape
+    dtype = q.dtype
+    Xc, Xs, Xk = x_tables
+    sin_q, cos_q = jnp.sin(q), jnp.cos(q)
+    ez = _ez_col(dtype)
+    z6 = materialize(jnp.zeros((6, 1), dtype), B)
+
+    X, dX, I = [], [], []
+    for j in range(nj):
+        s, c, t = _r(sin_q, j), _r(cos_q, j), _r(tq, j)
+        X.append(Xc[j][:, :, None] + s[None, :, :] * Xs[j][:, :, None]
+                 + c[None, :, :] * Xk[j][:, :, None])
+        dX.append((c * t)[None, :, :] * Xs[j][:, :, None]
+                  - (s * t)[None, :, :] * Xk[j][:, :, None])
+        I.append(materialize(I_tables[j][:, :, None].astype(dtype), B))
+
+    v_prev, dv_prev = z6, z6
+    a_prev, da_prev = z6, z6
+    if gravity:
+        a_prev = a_prev + _grav_col(gravity, dtype)
+    fs, dfs = [], []
+    for j in range(nj):
+        vj = matvec6(X[j], v_prev) + ez * _r(qd, j)
+        dvj = (matvec6(dX[j], v_prev) + matvec6(X[j], dv_prev)
+               + ez * _r(tqd, j))
+        aj = (matvec6(X[j], a_prev) + ez * _r(qdd, j)
+              + crm_z(vj, _r(qd, j)))
+        daj = (matvec6(dX[j], a_prev) + matvec6(X[j], da_prev)
+               + crm_z(dvj, _r(qd, j)) + crm_z(vj, _r(tqd, j)))
+        Iv = matvec6(I[j], vj)
+        dIv = matvec6(I[j], dvj)
+        fs.append(matvec6(I[j], aj) + crf(vj, Iv))
+        dfs.append(matvec6(I[j], daj) + crf(dvj, Iv) + crf(vj, dIv))
+        v_prev, dv_prev, a_prev, da_prev = vj, dvj, aj, daj
+
+    tau, dtau = [None] * nj, [None] * nj
+    f, df = fs[nj - 1], dfs[nj - 1]
+    for j in range(nj - 1, -1, -1):
+        tau[j] = f[_EZ:_EZ + 1, :]
+        dtau[j] = df[_EZ:_EZ + 1, :]
+        if j > 0:
+            f_new = fs[j - 1] + matvec6_T(X[j], f)
+            df = dfs[j - 1] + matvec6_T(X[j], df) + matvec6_T(dX[j], f)
+            f = f_new
+    return jnp.concatenate(tau, axis=0), jnp.concatenate(dtau, axis=0)

@@ -30,3 +30,27 @@ def test_lane_aba_and_fk_match(iiwa):
                       in_axes=-1, out_axes=-1)(jnp.asarray(q))
     np.testing.assert_allclose(np.asarray(ee), np.asarray(ee_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_rnea_lane_jvp_matches_autodiff(iiwa):
+    import jax
+
+    from mpcgpu_tpu.ops.pallas import lanedyn as ld
+
+    rng = np.random.default_rng(3)
+    B = 9
+    q = jnp.asarray(rng.uniform(-1, 1, (7, B)), jnp.float32)
+    qd = jnp.asarray(rng.uniform(-1, 1, (7, B)), jnp.float32)
+    qdd = jnp.asarray(rng.uniform(-2, 2, (7, B)), jnp.float32)
+    tq = jnp.asarray(rng.normal(size=(7, B)), jnp.float32)
+    tqd = jnp.asarray(rng.normal(size=(7, B)), jnp.float32)
+    xt = (iiwa.Xc, iiwa.Xs, iiwa.Xk)
+
+    tau, dtau = ld.rnea_lane_jvp(xt, iiwa.I, q, qd, qdd, tq, tqd)
+    tau_ref, dtau_ref = jax.jvp(
+        lambda a, b: ld.rnea_lane(xt, iiwa.I, a, b, qdd), (q, qd), (tq, tqd)
+    )
+    np.testing.assert_allclose(np.asarray(tau), np.asarray(tau_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dtau), np.asarray(dtau_ref),
+                               rtol=2e-3, atol=2e-3)
