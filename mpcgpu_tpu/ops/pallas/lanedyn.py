@@ -169,7 +169,8 @@ def aba_qdd(x_tables, I_tables, q, qd, u, gravity: float = 0.0):
     ez = _ez_col(dtype)
 
     # pass 1
-    v_prev = materialize(jnp.zeros((6, 1), dtype), B)
+    v_prev = jnp.zeros((6, B), dtype)  # full-size: row extracts of
+    # broadcast-materialized values crash Mosaic (see module docstring)
     cvel, pA = [], []
     for j in range(nj):
         vj = matvec6(X[j], v_prev) + ez * _r(qd, j)
@@ -199,7 +200,7 @@ def aba_qdd(x_tables, I_tables, q, qd, u, gravity: float = 0.0):
             pA[j - 1] = pA[j - 1] + matvec6_T(X[j], pa)
 
     # pass 3
-    a_prev = materialize(jnp.zeros((6, 1), dtype), B)
+    a_prev = jnp.zeros((6, B), dtype)
     if gravity:
         a_prev = a_prev + _grav_col(gravity, dtype)
     qdd = []
@@ -374,8 +375,8 @@ def rnea_lane(x_tables, I_tables, q, qd, qdd, gravity: float = 0.0):
     I = [I_tables[j][:, :, None].astype(dtype) for j in range(nj)]
     ez = _ez_col(dtype)
 
-    v_prev = materialize(jnp.zeros((6, 1), dtype), B)
-    a_prev = materialize(jnp.zeros((6, 1), dtype), B)
+    v_prev = jnp.zeros((6, B), dtype)
+    a_prev = jnp.zeros((6, B), dtype)
     if gravity:
         a_prev = a_prev + _grav_col(gravity, dtype)
     fs = []
@@ -466,15 +467,16 @@ def rnea_lane_jvp(x_tables, I_tables, q, qd, qdd, tq, tqd,
     Xc, Xs, Xk = x_tables
     sin_q, cos_q = jnp.sin(q), jnp.cos(q)
     ez = _ez_col(dtype)
-    z6 = materialize(jnp.zeros((6, 1), dtype), B)
+    z6 = jnp.zeros((6, B), dtype)
 
     X, dX, I = [], [], []
     for j in range(nj):
         s, c, t = _r(sin_q, j), _r(cos_q, j), _r(tq, j)
         X.append(Xc[j][:, :, None] + s[None, :, :] * Xs[j][:, :, None]
                  + c[None, :, :] * Xk[j][:, :, None])
-        dX.append((c * t)[None, :, :] * Xs[j][:, :, None]
-                  - (s * t)[None, :, :] * Xk[j][:, :, None])
+        dX.append(materialize(
+            (c * t)[None, :, :] * Xs[j][:, :, None]
+            - (s * t)[None, :, :] * Xk[j][:, :, None], B))
         I.append(materialize(I_tables[j][:, :, None].astype(dtype), B))
 
     v_prev, dv_prev = z6, z6

@@ -158,7 +158,7 @@ def _rollout_and_error(model: RobotModel, cfg: SolverConfig, xs, U_prev,
     """Plant rollout + tracking-error probe; fused Pallas kernel when the
     solver runs fused stages (one kernel instead of ~10 sequential tiny
     ABA evaluations)."""
-    if cfg.pallas_stages:
+    if cfg.pallas_stages:  # rollout batch is 1 lane; no large-N concern
         from mpcgpu_tpu.ops.pallas.rollout_kernel import plant_rollout_pallas
 
         return plant_rollout_pallas(

@@ -130,7 +130,7 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
     n_iter = cfg.sqp_max_iter
     alphas = (1.0 / 2 ** jnp.arange(cfg.num_alphas)).astype(X.dtype)
 
-    if cfg.pallas_stages:
+    if cfg.pallas_stages and cfg.knot_points <= 128:
         from mpcgpu_tpu.ops.pallas.merit_kernel import line_search_merits_pallas
 
         def eval_merits(Xc, Uc, dX, dU):
@@ -168,8 +168,16 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
     def cond(st: _LoopState):
         return jnp.logical_and(st.it < n_iter, jnp.logical_not(st.done))
 
+    # The fused stage kernels are validated on hardware up to N = 128;
+    # beyond that the Mosaic layout pass miscompiles the tangent-RNEA
+    # kernel (tracked in CLAUDE.md), so large horizons run the portable
+    # stages with the fused PCG kernel, which is verified through N = 512.
+    use_fused_stages = cfg.pallas_stages and cfg.knot_points <= 128
+    if cfg.pallas_stages and not use_fused_stages and linsys == "pcg":
+        solve_fn = _LINSYS_BACKENDS["pcg_pallas"]
+
     def linearize_and_solve(st: _LoopState):
-        if cfg.pallas_stages:
+        if use_fused_stages:
             # fused lane-layout path: one kernel for KKT+Schur, one for PCG
             from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
                 compute_dz_lanes, form_kkt_schur_pallas)
