@@ -182,3 +182,67 @@ def check_pcg_vmem_fit(knot_points: int, state_size: int,
             f"(parallel/pcg_sharded) or use the while_loop backend"
         )
     return need
+
+
+def _pcg_dz_kernel(s: int, nu: int, max_iter_ref, tol_ref,
+                   sl_ref, sd_ref, su_ref, pl_ref, pd_ref, pu_ref,
+                   gamma_ref, lam0_ref,
+                   a_ref, b_ref, qg_ref, rg_ref, qinv_ref, rinv_ref,
+                   lam_out_ref, dx_out_ref, du_out_ref, iters_ref, hit_ref):
+    """PCG solve + primal recovery fused: saves the separate dz stage.
+
+    dz math identical to ops/dz.py (lane layout; see
+    kkt_schur_kernel.compute_dz_lanes)."""
+    from mpcgpu_tpu.ops.pallas import lanedyn as ld
+
+    _pcg_kernel(s, max_iter_ref, tol_ref, sl_ref, sd_ref, su_ref,
+                pl_ref, pd_ref, pu_ref, gamma_ref, lam0_ref,
+                lam_out_ref, iters_ref, hit_ref)
+    lam = lam_out_ref[:]
+    n = lam.shape[1]
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    m_last = (k < n - 1).astype(lam.dtype)
+    lam_next = pltpu.roll(lam, n - 1, axis=1) * m_last
+
+    A = a_ref[:]
+    B = b_ref[:]
+    At_lam = ld.lane_matvec_T(A, lam_next) * m_last
+    rhs_x = qg_ref[:] - lam + At_lam
+    dx_out_ref[:] = -ld.lane_matvec(qinv_ref[:], rhs_x)
+    Bt_lam = ld.lane_matvec_T(B, lam_next)
+    du_out_ref[:] = -ld.lane_matvec(rinv_ref[:], rg_ref[:] + Bt_lam)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pcg_dz_pallas_lanes(ls, lam0_l, max_iter, exit_tol,
+                        interpret: bool = None):
+    """Fused PCG + primal recovery from a LaneSchur system.
+
+    Returns (lam (s,N), dX (N,s), dU (N-1,nu), iters, hit_max).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, n = ls.gamma.shape
+    nu = ls.Rinv.shape[0]
+    f32 = ls.gamma.dtype
+    smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    lam_t, dx_t, du_t, iters, hit = pl.pallas_call(
+        functools.partial(_pcg_dz_kernel, s, nu),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, n), f32),
+            jax.ShapeDtypeStruct((s, n), f32),
+            jax.ShapeDtypeStruct((nu, n), f32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=[smem_scalar, smem_scalar] + [vmem] * 14,
+        out_specs=(vmem, vmem, vmem, smem_scalar, smem_scalar),
+        interpret=interpret,
+    )(
+        jnp.asarray(max_iter, jnp.int32).reshape(1),
+        jnp.asarray(exit_tol, f32).reshape(1),
+        ls.SL, ls.SD, ls.SU, ls.PL, ls.PD, ls.PU, ls.gamma, lam0_l,
+        ls.A, ls.B, ls.q, ls.r, ls.Qinv, ls.Rinv,
+    )
+    return lam_t, dx_t.T, du_t.T[:-1], iters[0], iters_hit_bool(hit)

@@ -178,21 +178,20 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
 
     def linearize_and_solve(st: _LoopState):
         if use_fused_stages:
-            # fused lane-layout path: one kernel for KKT+Schur, one for PCG
+            # fused lane-layout path: one kernel for KKT+Schur, one for
+            # PCG + primal recovery
             from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
-                compute_dz_lanes, form_kkt_schur_pallas)
-            from mpcgpu_tpu.ops.pallas.pcg_kernel import pcg_pallas_lanes
+                form_kkt_schur_pallas)
+            from mpcgpu_tpu.ops.pallas.pcg_kernel import pcg_dz_pallas_lanes
 
             ls = form_kkt_schur_pallas(
                 model, st.X, st.U, goals, xs, st.rho, cfg.timestep,
                 cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
                 cfg.gravity, cfg.cost.hessian, cfg.pcg.preconditioned,
             )
-            lam_l, pcg_it, hit_max = pcg_pallas_lanes(
-                ls.SL, ls.SD, ls.SU, ls.PL, ls.PD, ls.PU, ls.gamma,
-                st.lam.T, cfg.pcg.max_iter, pcg_exit_tol,
+            lam_l, dX, dU, pcg_it, hit_max = pcg_dz_pallas_lanes(
+                ls, st.lam.T, cfg.pcg.max_iter, pcg_exit_tol,
             )
-            dX, dU = compute_dz_lanes(ls, lam_l)
             return lam_l.T, pcg_it, hit_max, dX, dU
         kkt = form_kkt(
             model, st.X, st.U, goals, xs, cfg.timestep,
