@@ -111,3 +111,37 @@ def test_tilted_axis_consistency(tmp_path):
     ee1 = np.asarray(dyn.ee_pos(m, jnp.asarray([np.pi / 2, 0.0], jnp.float32)))
     np.testing.assert_allclose(ee0[:3], [2.0, 0, 0], atol=1e-5)
     np.testing.assert_allclose(ee1[:3], [0, 0, -2.0], atol=1e-5)
+
+
+def test_sqp_solver_on_urdf_robot(tmp_path):
+    """BASELINE config 4 end-to-end: a URDF-loaded robot drives the same
+    SQP solver; from rest, the solve must pull the EE toward a reachable
+    goal."""
+    import jax
+
+    from mpcgpu_tpu.config import CostConfig, PCGConfig, SolverConfig
+    from mpcgpu_tpu.sqp import sqp_solve
+
+    m = _model_from_urdf(PLANAR_2R, tmp_path, "planar_sqp")
+    n, nx, nu = 16, 4, 2
+    cfg = SolverConfig(
+        knot_points=n, state_size=nx, control_size=nu, timestep=0.05,
+        sqp_max_iter=10, pcg=PCGConfig(max_iter=200),
+        cost=CostConfig(qd_cost=1e-3, r_cost=1e-4),
+    )
+    X = jnp.zeros((n, nx), jnp.float32)          # at rest, arm along +x
+    U = jnp.zeros((n - 1, nu), jnp.float32)
+    lam = jnp.zeros((n, nx), jnp.float32)
+    goal = jnp.asarray([1.2, 1.2, 0.0, 0, 0, 0], jnp.float32)
+    goals = jnp.tile(goal[None], (n, 1))
+    xs = X[0]
+
+    res = sqp_solve(m, cfg, X, U, lam, goals, xs, 1e-3, 1e-8)
+    from mpcgpu_tpu.models import dynamics as dyn
+
+    ee0 = np.asarray(dyn.ee_pos(m, X[-1, :2]))[:2]
+    ee1 = np.asarray(dyn.ee_pos(m, res.X[-1, :2]))[:2]
+    d0 = np.linalg.norm(ee0 - np.asarray(goal[:2]))
+    d1 = np.linalg.norm(ee1 - np.asarray(goal[:2]))
+    assert d1 < 0.6 * d0, (d0, d1)
+    assert bool(res.stats.accepted.any())
