@@ -80,7 +80,8 @@ def main():
 
     for start, goal in pairs:
         try:
-            xu, ee = load_fixture_pair(args.trajfile_dir, start, goal)
+            xu, ee = load_fixture_pair(args.trajfile_dir, start, goal,
+                                       model=model)
         except OSError:
             print(f"fixture {start}_{goal} not found, skipping")
             continue

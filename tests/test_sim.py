@@ -84,3 +84,17 @@ def test_scan_loop_matches_host_loop(iiwa, fixtures_dir):
     errs_host = np.asarray(rec.tracking_errors)
     assert errs_scan.shape == errs_host.shape
     np.testing.assert_allclose(errs_scan, errs_host, rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_mpc_tracks_second_fixture(iiwa, fixtures_dir):
+    """A different recorded (start, goal) pair through the same loop."""
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 1, model=iiwa)
+    cfg = SolverConfig.for_knots(16, sqp_max_iter=5)
+    rec = simulate_mpc(
+        iiwa, cfg, xu, ee, pcg_exit_tol=1e-5, warmup_iters=2,
+        max_timesteps=20, max_control_updates=200,
+    )
+    s = rec.summary()
+    assert rec.timesteps == 20
+    assert s["avg_tracking_error"] < 0.3, s

@@ -100,3 +100,18 @@ def test_rho_escalation_bails(iiwa, problem):
     res = sqp_solve(iiwa, cfg, X, U, lam, goals, xs, 9.99, 1e-5)
     if bool(res.stats.rho_bailed):
         assert float(res.rho) == pytest.approx(cfg.rho_reset)
+
+
+def test_timeboxed_mode(iiwa, problem):
+    """Wall-clock anytime mode (reference SQP_MAX_TIME_US semantics)."""
+    from mpcgpu_tpu.sqp import sqp_solve_timeboxed
+
+    cfg, X, U, goals, xs, lam = problem
+    # generous budget: should run to the iteration cap and decrease merit
+    res = sqp_solve_timeboxed(iiwa, cfg, X, U, lam, goals, xs, 1e-3, 1e-6,
+                              max_time_us=60e6)
+    assert int(res.stats.sqp_iters) >= 1
+    # zero budget: no iterations executed
+    res0 = sqp_solve_timeboxed(iiwa, cfg, X, U, lam, goals, xs, 1e-3, 1e-6,
+                               max_time_us=0.0)
+    assert int(res0.stats.sqp_iters) == 0
