@@ -56,8 +56,10 @@ def stage_latencies(model: RobotModel, cfg: SolverConfig, X, U, goals, xs,
         kkt, rho, preconditioned=cfg.pcg.preconditioned))
     pcg_fn = jax.jit(lambda sd, l: pcg(
         sd.S, sd.Pinv, sd.gamma, l, cfg.pcg.max_iter, pcg_exit_tol))
+    interp = jax.default_backend() != "tpu"
     pal_fn = jax.jit(lambda sd, l: pcg_pallas(
-        sd.S, sd.Pinv, sd.gamma, l, cfg.pcg.max_iter, pcg_exit_tol))
+        sd.S, sd.Pinv, sd.gamma, l, cfg.pcg.max_iter, pcg_exit_tol,
+        interpret=interp))
     dz_fn = jax.jit(lambda kkt, sd, l: compute_dz(kkt, sd, l))
     ls_fn = jax.jit(lambda X, U, dX, dU, xs: merit_ops.line_search_merits(
         model, X, U, dX, dU, alphas, goals, xs, cfg.timestep, cfg.merit_mu,

@@ -17,3 +17,24 @@ def test_run_expr_dry(tmp_path, fixtures_dir):
     assert 8 in res and "pcg" in res[8] and "qdldl" in res[8]
     assert (tmp_path / "dry" / "results.json").exists()
     assert res[8]["pcg"]["avg_tracking_error"] < 0.5
+
+
+@pytest.mark.slow
+def test_stage_latencies(iiwa, fixtures_dir):
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.utils.profiling import stage_latencies
+    from mpcgpu_tpu.utils.trajfiles import load_fixture_pair, horizon_slices
+
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
+    X, U, goals, xs = horizon_slices(xu, ee, 8)
+    cfg = SolverConfig.for_knots(8)
+    out = stage_latencies(
+        iiwa, cfg, jnp.asarray(X), jnp.asarray(U), jnp.asarray(goals),
+        jnp.asarray(xs), reps=2,
+    )
+    for key in ("kkt_us", "schur_us", "pcg_while_loop_us", "pcg_pallas_us",
+                "dz_us", "line_search_us"):
+        assert out[key] > 0
+    assert out["pcg_iters"] > 0
