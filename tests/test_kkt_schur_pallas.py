@@ -8,7 +8,7 @@ from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
     compute_dz_lanes, form_kkt_schur_pallas)
 from mpcgpu_tpu.ops.schur import form_schur
 
-N = 16
+N = 8  # interpreter-mode cost scales with the lane batch
 RHO = 1e-3
 
 
