@@ -27,6 +27,12 @@ class CostConfig:
     qd_cost: float = 1e-4
     r_cost: float = 1e-4   # reference uses 1e-3 when KNOT_POINTS == 64
     hessian: str = "reference"  # or "gauss_newton" (see ops/cost.py)
+    # Tracking mode: "eepos" (reference default plant adapter,
+    # iiwa_eepos_plant.cuh) or "joint" (the joint-space variant,
+    # iiwa_plant.cuh:40-332, tracking the precomputed state trajectory
+    # with weight q_cost = Q_COST on the position error).
+    tracking: str = "eepos"
+    q_cost: float = 1.0
 
     @staticmethod
     def for_knots(knot_points: int) -> "CostConfig":
@@ -57,7 +63,11 @@ class SolverConfig:
     control_size: int = 7
     timestep: float = 0.015625          # 1/64 s (reference examples/track_iiwa_pcg.cu:19)
     integrator_type: int = 0            # 0: Euler, 1: semi-implicit Euler
-    angle_wrap: bool = False
+    angle_wrap: bool = False            # ANGLE_WRAP (integrator.cuh:13-19)
+    # linsys_t precision (USE_DOUBLES, settings.cuh:49-57).  "float64"
+    # requires jax.config.update("jax_enable_x64", True) and a model built
+    # with dtype=jnp.float64.
+    dtype: str = "float32"
 
     sqp_max_iter: int = 40              # settings.cuh:164-170 (40 iter-mode / 20 time-mode)
     merit_mu: float = 10.0              # pcg/sqp.cuh:62
@@ -82,6 +92,12 @@ class SolverConfig:
     # Use the fused Pallas stage kernels (lane-batched dynamics) inside the
     # SQP loop instead of the portable vmapped XLA implementations.
     pallas_stages: bool = False
+
+    @property
+    def jax_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.dtype)
 
     @property
     def nx(self) -> int:

@@ -68,6 +68,19 @@ def trajectory_cost(model, qd_cost, r_cost, X, U, goals):
     return costs.sum()
 
 
+def trajectory_cost_joint(q_cost, qd_cost, r_cost, X, U, X_ref):
+    """Joint-space variant of trajectory_cost: X_ref is (N, nx) state refs."""
+    n = X.shape[0]
+    Upad = jnp.concatenate([U, jnp.zeros((1, U.shape[1]), U.dtype)])
+    use_u = jnp.arange(n) < n - 1
+    costs = jax.vmap(
+        lambda x, u, xr, m: joint_space_knot_cost(
+            q_cost, qd_cost, r_cost, x, u, xr, m
+        )
+    )(X, Upad, X_ref, use_u.astype(X.dtype))
+    return costs.sum()
+
+
 def cost_gradient_and_hessian(model: RobotModel, qd_cost, r_cost, x, u, goal,
                               hessian: str = "reference"):
     """Per-knot (Q, q_grad, R, r_grad).

@@ -12,8 +12,22 @@ from mpcgpu_tpu.models import dynamics as dyn
 from mpcgpu_tpu.models.robot import RobotModel
 
 
+def angle_wrap(q):
+    """Reflect joint angles that leave (-pi, pi) back into range.
+
+    Exact semantics (including the truncated pi constant and the
+    reflection rather than a modular wrap) of the reference's
+    ``angleWrap`` (include/common/integrator.cuh:13-19), applied to the
+    integrated q when ANGLE_WRAP is enabled (integrator.cuh:42-43,126-127).
+    """
+    pi = jnp.asarray(3.14159, q.dtype)
+    q = jnp.where(q > pi, -(q - pi), q)
+    q = jnp.where(q < -pi, -(q + pi), q)
+    return q
+
+
 def integrate(model: RobotModel, x, u, dt, integrator_type: int = 0,
-              gravity: float = 0.0):
+              gravity: float = 0.0, wrap: bool = False):
     """x_{k+1} = f(x_k, u_k): one explicit (0) or semi-implicit (1) Euler step."""
     nq = x.shape[0] // 2
     q, qd = x[:nq], x[nq:]
@@ -26,16 +40,22 @@ def integrate(model: RobotModel, x, u, dt, integrator_type: int = 0,
         q_new = q + dt * qd_new
     else:
         raise ValueError(f"integrator_type {integrator_type} not in (0, 1)")
+    if wrap:
+        q_new = angle_wrap(q_new)
     return jnp.concatenate([q_new, qd_new])
 
 
 def integrator_and_gradient(model: RobotModel, x, u, x_next, dt,
-                            integrator_type: int = 0, gravity: float = 0.0):
+                            integrator_type: int = 0, gravity: float = 0.0,
+                            wrap: bool = False):
     """(A, B, err): dynamics linearization and defect at one knot.
 
     err = x_next - f(x, u); A = df/dx, B = df/du composed from the
     continuous-dynamics gradient exactly as the reference does
-    (integrator.cuh:61-100).
+    (integrator.cuh:61-100).  As in the reference, ANGLE_WRAP affects
+    only the integrated value (the defect), never the gradient
+    (integrator.cuh:149-156: exec_integrator_gradient takes no
+    ANGLE_WRAP parameter).
     """
     nq = x.shape[0] // 2
     q, qd = x[:nq], x[nq:]
@@ -60,12 +80,16 @@ def integrator_and_gradient(model: RobotModel, x, u, x_next, dt,
     else:
         raise ValueError(f"integrator_type {integrator_type} not in (0, 1)")
 
+    if wrap:
+        q_new = angle_wrap(q_new)
     err = x_next - jnp.concatenate([q_new, qd_new])
     return A, B, err
 
 
 def defect_l1(model: RobotModel, x, u, x_next, dt, integrator_type: int = 0,
-              gravity: float = 0.0):
+              gravity: float = 0.0, wrap: bool = False):
     """||x_next - f(x, u)||_1: the merit function's constraint-violation term
     (reference integratorError, integrator.cuh:163-193)."""
-    return jnp.abs(x_next - integrate(model, x, u, dt, integrator_type, gravity)).sum()
+    return jnp.abs(
+        x_next - integrate(model, x, u, dt, integrator_type, gravity, wrap)
+    ).sum()

@@ -42,20 +42,34 @@ class KKTData(NamedTuple):
 
 def form_kkt(model: RobotModel, X, U, goals, xs, dt, qd_cost, r_cost,
              integrator_type: int = 0, gravity: float = 0.0,
-             hessian: str = "reference") -> KKTData:
-    """Linearize dynamics and cost around (X, U)."""
+             hessian: str = "reference", angle_wrap: bool = False,
+             tracking: str = "eepos", q_cost: float = 1.0) -> KKTData:
+    """Linearize dynamics and cost around (X, U).
+
+    tracking="eepos": goals is the (N, 6) end-effector pose trace
+    (reference iiwa_eepos_plant.cuh).  tracking="joint": goals is the
+    (N, nx) reference state trajectory and the cost is joint-space
+    quadratic tracking (reference iiwa_plant.cuh:40-332).
+    """
     lin = jax.vmap(
         lambda x, u, xn: integ.integrator_and_gradient(
-            model, x, u, xn, dt, integrator_type, gravity
+            model, x, u, xn, dt, integrator_type, gravity, angle_wrap
         )
     )
     A, B, err = lin(X[:-1], U, X[1:])
 
-    gh = jax.vmap(
-        lambda x, u, g: cost_ops.cost_gradient_and_hessian(
-            model, qd_cost, r_cost, x, u, g, hessian
+    if tracking == "joint":
+        gh = jax.vmap(
+            lambda x, u, g: cost_ops.joint_space_gradient_and_hessian(
+                q_cost, qd_cost, r_cost, x, u, g
+            )
         )
-    )
+    else:
+        gh = jax.vmap(
+            lambda x, u, g: cost_ops.cost_gradient_and_hessian(
+                model, qd_cost, r_cost, x, u, g, hessian
+            )
+        )
     # last knot has no control; reference evaluates it with computeR=false
     # (kkt.cuh:90-103) -- pad U and drop the extra R, r rows.
     Upad = jnp.concatenate([U, jnp.zeros((1, U.shape[1]), U.dtype)])

@@ -23,10 +23,17 @@ from mpcgpu_tpu.ops import integrator as integ
 
 
 def merit(model: RobotModel, X, U, goals, xs, dt, mu, qd_cost, r_cost,
-          integrator_type: int = 0, gravity: float = 0.0):
-    J = cost_ops.trajectory_cost(model, qd_cost, r_cost, X, U, goals)
+          integrator_type: int = 0, gravity: float = 0.0,
+          angle_wrap: bool = False, tracking: str = "eepos",
+          q_cost: float = 1.0):
+    if tracking == "joint":
+        J = cost_ops.trajectory_cost_joint(q_cost, qd_cost, r_cost, X, U, goals)
+    else:
+        J = cost_ops.trajectory_cost(model, qd_cost, r_cost, X, U, goals)
     defects = jax.vmap(
-        lambda x, u, xn: integ.defect_l1(model, x, u, xn, dt, integrator_type, gravity)
+        lambda x, u, xn: integ.defect_l1(
+            model, x, u, xn, dt, integrator_type, gravity, angle_wrap
+        )
     )(X[:-1], U, X[1:])
     c0 = jnp.abs(X[0] - xs).sum()
     return J + mu * (defects.sum() + c0)
@@ -34,13 +41,14 @@ def merit(model: RobotModel, X, U, goals, xs, dt, mu, qd_cost, r_cost,
 
 def line_search_merits(model: RobotModel, X, U, dX, dU, alphas, goals, xs, dt,
                        mu, qd_cost, r_cost, integrator_type: int = 0,
-                       gravity: float = 0.0):
+                       gravity: float = 0.0, angle_wrap: bool = False,
+                       tracking: str = "eepos", q_cost: float = 1.0):
     """Merit of (X + a dX, U + a dU) for every candidate step size a."""
 
     def one(a):
         return merit(
             model, X + a * dX, U + a * dU, goals, xs, dt, mu, qd_cost, r_cost,
-            integrator_type, gravity,
+            integrator_type, gravity, angle_wrap, tracking, q_cost,
         )
 
     return jax.vmap(one)(alphas)

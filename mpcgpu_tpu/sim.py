@@ -213,7 +213,7 @@ def simulate_mpc(
     traj_steps = xu_traj.shape[0] if max_timesteps is None else min(
         xu_traj.shape[0], max_timesteps
     )
-    dtype = jnp.float32
+    dtype = cfg.jax_dtype  # USE_DOUBLES parity knob (settings.cuh:49-57)
 
     xu_traj_j = jnp.asarray(xu_traj, dtype)
     ee_traj_j = jnp.asarray(ee_traj, dtype)
@@ -238,6 +238,14 @@ def simulate_mpc(
             lam, rho = res.lam, res.rho
             X, U = X0, U0
         rho = jnp.asarray(cfg.rho_init, dtype)
+        # cfg is a static jit arg, so the warm_cfg solves compiled a
+        # different executable than the measured loop; compile + warm the
+        # measured executable too so the first timed update isn't a
+        # compile (the reference's REMOVE_JITTERS warms the exact kernels
+        # it measures).
+        res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho,
+                        jnp.asarray(pcg_exit_tol, dtype), linsys)
+        np.asarray(res.stats.final_merit)  # hard sync (see CLAUDE.md)
 
     max_substeps = max(
         1, int(np.ceil(cfg.simulation_period_us * 1e-6 / cfg.sim_step_time)) + 1
@@ -259,7 +267,9 @@ def simulate_mpc(
 
         t0 = time.perf_counter()
         res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho, tol_j, linsys)
-        res.X.block_until_ready()
+        # block_until_ready is not a hard sync on the remote-tunneled TPU
+        # (CLAUDE.md); force the sync with a scalar fetch before timing.
+        np.asarray(res.stats.final_merit)
         solve_us = (time.perf_counter() - t0) * 1e6
         X, U, lam, rho = res.X, res.U, res.lam, res.rho
 
@@ -311,6 +321,17 @@ def simulate_mpc(
     )
     rec.control_updates = rec.control_updates or len(rec.sqp_times_us)
     rec.timesteps = traj_offset
+
+    # PCG max-iter exit-rate self-diagnostic (reference mpcsim.cuh:436-441)
+    if rec.pcg_exits:
+        exit_rate = float(np.mean(rec.pcg_exits))
+        if exit_rate > 0.5:
+            print(
+                f"WARNING: PCG hit its max-iteration cap in "
+                f"{100.0 * exit_rate:.1f}% of solves "
+                f"(exit tol {pcg_exit_tol:g}, max_iter {cfg.pcg.max_iter}); "
+                f"results may be unreliable"
+            )
     return rec
 
 

@@ -105,10 +105,32 @@ _LINSYS_BACKENDS = {
     "dense": _solve_linsys_dense,
 }
 
+# Backends that register themselves at import time (import side effect);
+# looked up lazily so every advertised name works from a fresh interpreter.
+_LAZY_BACKEND_MODULES = {
+    "pcg_pallas": "mpcgpu_tpu.ops.pallas.pcg_kernel",
+    "qdldl": "mpcgpu_tpu.linsys.qdldl_host",
+}
+
 
 def register_linsys_backend(name: str, fn) -> None:
     """The pluggable linear-system-solver seam (reference README.md:22-24)."""
     _LINSYS_BACKENDS[name] = fn
+
+
+def get_linsys_backend(name: str):
+    """Resolve a backend by name, importing its registering module on demand."""
+    if name not in _LINSYS_BACKENDS and name in _LAZY_BACKEND_MODULES:
+        import importlib
+
+        importlib.import_module(_LAZY_BACKEND_MODULES[name])
+    try:
+        return _LINSYS_BACKENDS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown linsys backend {name!r}; available: "
+            f"{sorted(set(_LINSYS_BACKENDS) | set(_LAZY_BACKEND_MODULES))}"
+        ) from None
 
 
 @partial(jax.jit, static_argnames=("cfg", "linsys"))
@@ -126,10 +148,21 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
       rho:   Levenberg regularizer carried across solves (mpcsim.cuh:256).
       pcg_exit_tol: traced PCG exit tolerance (sweepable without re-jit).
     """
-    solve_fn = _LINSYS_BACKENDS[linsys]
+    solve_fn = get_linsys_backend(linsys)
     n_iter = cfg.sqp_max_iter
     alphas = (1.0 / 2 ** jnp.arange(cfg.num_alphas)).astype(X.dtype)
 
+    if cfg.pallas_stages and cfg.angle_wrap:
+        raise NotImplementedError(
+            "angle_wrap is implemented on the portable stages only; "
+            "set pallas_stages=False (the reference likewise defaults "
+            "ANGLE_WRAP off, include/common/integrator.cuh:22)"
+        )
+    if cfg.pallas_stages and cfg.cost.tracking != "eepos":
+        raise NotImplementedError(
+            "joint-space tracking runs on the portable stages only; "
+            "set pallas_stages=False"
+        )
     if cfg.pallas_stages and cfg.knot_points <= 128:
         from mpcgpu_tpu.ops.pallas.merit_kernel import line_search_merits_pallas
 
@@ -153,14 +186,16 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
             return merit_ops.line_search_merits(
                 model, Xc, Uc, dX, dU, alphas, goals, xs, cfg.timestep,
                 cfg.merit_mu, cfg.cost.qd_cost, cfg.cost.r_cost,
-                cfg.integrator_type, cfg.gravity,
+                cfg.integrator_type, cfg.gravity, cfg.angle_wrap,
+                cfg.cost.tracking, cfg.cost.q_cost,
             )
 
         def merit_of(Xc, Uc):
             return merit_ops.merit(
                 model, Xc, Uc, goals, xs, cfg.timestep, cfg.merit_mu,
                 cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
-                cfg.gravity,
+                cfg.gravity, cfg.angle_wrap, cfg.cost.tracking,
+                cfg.cost.q_cost,
             )
 
     merit0 = merit_of(X, U)
@@ -174,7 +209,16 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
     # stages with the fused PCG kernel, which is verified through N = 512.
     use_fused_stages = cfg.pallas_stages and cfg.knot_points <= 128
     if cfg.pallas_stages and not use_fused_stages and linsys == "pcg":
-        solve_fn = _LINSYS_BACKENDS["pcg_pallas"]
+        solve_fn = get_linsys_backend("pcg_pallas")
+    if use_fused_stages or linsys == "pcg_pallas" or (
+        cfg.pallas_stages and linsys == "pcg"
+    ):
+        # occupancy precheck before launching the VMEM-resident kernel
+        # (reference checkPcgOccupancy, examples/track_iiwa_pcg.cu:24);
+        # runs at trace time -- shapes are static.
+        from mpcgpu_tpu.ops.pallas.pcg_kernel import check_pcg_vmem_fit
+
+        check_pcg_vmem_fit(cfg.knot_points, cfg.state_size)
 
     def linearize_and_solve(st: _LoopState):
         if use_fused_stages:
@@ -196,7 +240,8 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
         kkt = form_kkt(
             model, st.X, st.U, goals, xs, cfg.timestep,
             cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
-            cfg.gravity, cfg.cost.hessian,
+            cfg.gravity, cfg.cost.hessian, cfg.angle_wrap,
+            cfg.cost.tracking, cfg.cost.q_cost,
         )
         schur = form_schur(kkt, st.rho, preconditioned=cfg.pcg.preconditioned)
         lam_new, pcg_it, hit_max = solve_fn(cfg, schur, st.lam, pcg_exit_tol)
@@ -264,12 +309,13 @@ def sqp_iteration(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
                   rho, drho, merit, pcg_exit_tol, linsys: str = "pcg"):
     """One SQP iteration as a standalone jitted step (for the time-boxed
     host loop).  Same body as the fused solve's loop."""
-    solve_fn = _LINSYS_BACKENDS[linsys]
+    solve_fn = get_linsys_backend(linsys)
     alphas = (1.0 / 2 ** jnp.arange(cfg.num_alphas)).astype(X.dtype)
 
     kkt = form_kkt(
         model, X, U, goals, xs, cfg.timestep, cfg.cost.qd_cost,
         cfg.cost.r_cost, cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
+        cfg.angle_wrap,
     )
     schur = form_schur(kkt, rho, preconditioned=cfg.pcg.preconditioned)
     lam_new, pcg_it, hit_max = solve_fn(cfg, schur, lam, pcg_exit_tol)
@@ -278,6 +324,7 @@ def sqp_iteration(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
     merits = merit_ops.line_search_merits(
         model, X, U, dX, dU, alphas, goals, xs, cfg.timestep, cfg.merit_mu,
         cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type, cfg.gravity,
+        cfg.angle_wrap, cfg.cost.tracking, cfg.cost.q_cost,
     )
     best = jnp.argmin(merits)
     best_merit = merits[best]
@@ -316,6 +363,7 @@ def sqp_solve_timeboxed(model: RobotModel, cfg: SolverConfig, X, U, lam,
     merit0 = merit_ops.merit(
         model, X, U, goals, xs, cfg.timestep, cfg.merit_mu,
         cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type, cfg.gravity,
+        cfg.angle_wrap, cfg.cost.tracking, cfg.cost.q_cost,
     )
     drho = jnp.asarray(1.0, X.dtype)
     rho = jnp.asarray(rho, X.dtype)
