@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--trajfile-dir", default=str(REPO / "tests" / "fixtures"))
     ap.add_argument("--output-dir", default=str(REPO / "tmp" / "results"))
     ap.add_argument("--warmup-iters", type=int, default=100)
+    ap.add_argument("--fine-grained", action="store_true",
+                    help="per-phase KKT/Schur/linsys/dz/line-search timing "
+                         "dumps (reference FINE_GRAINED_TIMING)")
     ap.add_argument("--all-pairs", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
@@ -96,6 +99,7 @@ def main():
                     pcg_exit_tol=tol, linsys=args.linsys,
                     warmup_iters=args.warmup_iters if it == 0 else 0,
                     max_timesteps=args.max_timesteps,
+                    fine_grained_timing=args.fine_grained,
                 )
                 dump_tracking_data(rec, prefix, it, args.output_dir)
                 tracking_errs.extend(rec.tracking_errors)

@@ -57,27 +57,19 @@ def _lane_mask(n, lo, hi, dtype):
     return ((k >= lo) & (k < hi)).astype(dtype)
 
 
-def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
-            integrator_type: int, gravity: float, hessian: str,
-            precond: bool,
-            rho_ref, x_ref, u_ref, goals_ref, xs_ref,
-            hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
-            sl_o, sd_o, su_o, pl_o, pd_o, pu_o, gam_o, qinv_o, rinv_o,
-            a_o, b_o, qg_o, rg_o):
+def _perknot(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
+             integrator_type: int, gravity: float, hessian: str,
+             rho, X, U, goals, x_tab, h_tab, dh_tab, I_tab):
+    """All strictly per-knot work for a lane batch: heavy dynamics with
+    tangents, cost derivatives, regularized inverses, and the per-knot
+    Schur products.  No cross-knot (roll/halo) terms -- callable from
+    both the single full-width kernel and the 128-lane tiled grid kernel.
+
+    Returns (A, B, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq)."""
     nx = 2 * nq
-    X = x_ref[:]                # (nx, N)
-    U = u_ref[:]                # (nu, N)
-    goals = goals_ref[:]        # (3, N)
-    xs_meas = xs_ref[:]         # (nx, 1)
-    rho = rho_ref[0]
     n = X.shape[1]
     dtype = X.dtype
-
     q, qd = X[:nq], X[nq:]
-    x_tab = (xc[:], xs_t[:], xk[:])
-    h_tab = (hc[:], hs[:], hk[:])
-    dh_tab = (dhc[:], dhs[:], dhk[:])
-    I_tab = i_ref[:]
 
     # ---- forward dynamics + gradient (reference fd_and_gradient comp.)
     M = ld.crba_M_lane(x_tab, I_tab, q)
@@ -123,12 +115,7 @@ def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
         qn = q + dt * qdn
     A = jnp.concatenate([A_top, A_bot], axis=0)             # (nx, nx, N)
     Bm = jnp.concatenate([B_top, B_bot], axis=0)            # (nx, nu, N)
-
-    # defect c_{k+1} = x_{k+1} - f(x_k, u_k), shifted so lane k holds c_k
     f_pred = jnp.concatenate([qn, qdn], axis=0)
-    x_next = pltpu.roll(X, n - 1, axis=1)
-    err = x_next - f_pred                                   # lane k: c_{k+1}
-    c = pltpu.roll(err, 1, axis=1) * _lane_mask(n, 1, n, dtype)  # lane k: c_k
 
     # ---- cost gradient / Hessian (iiwa_eepos_plant.cuh:297-378)
     ee, J = ld.fk_ee_and_jac(h_tab, dh_tab, q)              # (3,N), (3,nq,N)
@@ -160,18 +147,55 @@ def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     Qinv = ld.spd_inverse_lane(Qr)
     Rinv = ld.spd_inverse_lane(Rr)
 
-    # ---- Schur blocks (linsys_setup.cuh:141-562, true-space; ops/schur.py)
+    # ---- per-knot Schur products (linsys_setup.cuh:141-562; ops/schur.py)
     AQi = ld.lane_matmul(A, Qinv)                           # lane k: A_k Qr_k^-1
     BRi = ld.lane_matmul(Bm, Rinv)
     T = ld.lane_matmul_T2(AQi, A) + ld.lane_matmul_T2(BRi, Bm)
+    Qiq = ld.lane_matvec(Qinv, qg)
+    t_vec = ld.lane_matvec(AQi, qg) + ld.lane_matvec(BRi, rg)
+    return A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq
+
+
+def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
+            integrator_type: int, gravity: float, hessian: str,
+            precond: bool,
+            rho_ref, x_ref, u_ref, goals_ref, xs_ref,
+            hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
+            sl_o, sd_o, su_o, pl_o, pd_o, pu_o, gam_o, qinv_o, rinv_o,
+            a_o, b_o, qg_o, rg_o):
+    nx = 2 * nq
+    X = x_ref[:]                # (nx, N)
+    U = u_ref[:]                # (nu, N)
+    goals = goals_ref[:]        # (3, N)
+    del xs_ref  # c_0 is omitted from gamma, as in the reference
+                # (linsys_setup.cuh:273-276; the MPC loop re-injects x_0=xs)
+    rho = rho_ref[0]
+    n = X.shape[1]
+    dtype = X.dtype
+
+    x_tab = (xc[:], xs_t[:], xk[:])
+    h_tab = (hc[:], hs[:], hk[:])
+    dh_tab = (dhc[:], dhs[:], dhk[:])
+    I_tab = i_ref[:]
+
+    (A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = _perknot(
+        nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
+        rho, X, U, goals, x_tab, h_tab, dh_tab, I_tab,
+    )
+    eye_x = ld.materialize(jnp.eye(nx, dtype=dtype)[:, :, None], n)
+
+    # defect c_{k+1} = x_{k+1} - f(x_k, u_k), shifted so lane k holds c_k
+    x_next = pltpu.roll(X, n - 1, axis=1)
+    err = x_next - f_pred                                   # lane k: c_{k+1}
+    c = pltpu.roll(err, 1, axis=1) * _lane_mask(n, 1, n, dtype)  # lane k: c_k
+
+    # ---- cross-knot Schur assembly
     m1 = _lane_mask(n, 1, n, dtype)[None]                   # (1,1,N): k >= 1
     mN = _lane_mask(n, 0, n - 1, dtype)[None]               # k <= N-2
     theta = Qinv + pltpu.roll(T, 1, axis=2) * m1
     phi = -pltpu.roll(AQi, 1, axis=2) * m1                  # lane k: Phi_k
     SU = -ld.lane_transpose(AQi) * mN                       # lane k: Phi_{k+1}'
 
-    Qiq = ld.lane_matvec(Qinv, qg)
-    t_vec = ld.lane_matvec(AQi, qg) + ld.lane_matvec(BRi, rg)
     gamma = Qiq - pltpu.roll(t_vec, 1, axis=1) * m1[0] - c
 
     if precond:
@@ -253,6 +277,157 @@ def form_kkt_schur_pallas(model: RobotModel, X, U, goals, xs, rho,
         model.Xc, model.Xs, model.Xk, model.I,
     )
     return LaneSchur(*outs)
+
+
+def _tile_kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
+                 integrator_type: int, gravity: float, hessian: str,
+                 rho_ref, x_ref, u_ref, goals_ref,
+                 hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
+                 a_o, b_o, f_o, qinv_o, rinv_o, qg_o, rg_o,
+                 aqi_o, t_o, tvec_o, qiq_o):
+    """Per-knot stage over one 128-lane tile of the horizon.
+
+    This is the grid form of the fused kernel: every kernel instance sees
+    exactly one (sublane x 128-lane) tile, which sidesteps the Mosaic
+    layout-pass failure the monolithic kernel hits at multi-tile lane
+    widths N >= 256 (the round-1 open bug).  All cross-knot terms are
+    assembled outside in plain XLA from these per-knot outputs."""
+    x_tab = (xc[:], xs_t[:], xk[:])
+    h_tab = (hc[:], hs[:], hk[:])
+    dh_tab = (dhc[:], dhs[:], dhk[:])
+    outs = _perknot(
+        nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
+        rho_ref[0], x_ref[:], u_ref[:], goals_ref[:],
+        x_tab, h_tab, dh_tab, i_ref[:],
+    )
+    for ref, val in zip(
+        (a_o, b_o, f_o, qinv_o, rinv_o, qg_o, rg_o, aqi_o, t_o, tvec_o,
+         qiq_o),
+        outs,
+    ):
+        ref[:] = val
+
+
+def _spd_inv_tile_kernel(in_ref, out_ref):
+    """theta -> theta^{-1} over one lane tile (stair-preconditioner diag)."""
+    out_ref[:] = ld.spd_inverse_lane(in_ref[:])
+
+
+_TILE = 128
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "qd_cost", "r_cost", "integrator_type", "gravity",
+                     "hessian", "precond", "interpret"),
+)
+def form_kkt_schur_tiled(model: RobotModel, X, U, goals, xs, rho,
+                         dt: float, qd_cost: float, r_cost: float,
+                         integrator_type: int = 0, gravity: float = 0.0,
+                         hessian: str = "reference", precond: bool = True,
+                         interpret: bool = None) -> LaneSchur:
+    """Long-horizon fused KKT+Schur: Pallas grid over 128-knot tiles.
+
+    Same math and outputs as form_kkt_schur_pallas, restructured for
+    N > 128: the heavy per-knot stage (tangent RNEA, CRBA, FK chains,
+    SPD inverses) runs as a gridded kernel with single-tile lane widths,
+    and the cheap cross-knot assembly (neighbor rolls, stair off-diag
+    products) runs as batched XLA ops on the (14,14,N) outputs.
+    Covers the reference's tuned range through N = 512
+    (settings.cuh:135-156)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, nx = X.shape
+    nu = U.shape[1]
+    nq = nx // 2
+    f32 = X.dtype
+    assert n % _TILE == 0, (
+        f"tiled fused stages need knot_points % {_TILE} == 0, got {n}; "
+        f"use form_kkt_schur_pallas for N <= 128"
+    )
+    tiles = n // _TILE
+
+    Xl = X.T
+    Ul = jnp.concatenate([U, jnp.zeros((1, nu), U.dtype)]).T
+    goals_l = goals[:, :3].T
+
+    kern = functools.partial(
+        _tile_kernel, nq, nu, float(dt), float(qd_cost), float(r_cost),
+        int(integrator_type), float(gravity), str(hessian),
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    rep = pl.BlockSpec(memory_space=pltpu.VMEM)     # whole array every tile
+    vec = lambda d: pl.BlockSpec((d, _TILE), lambda t: (0, t),
+                                 memory_space=pltpu.VMEM)
+    mat = lambda d1, d2: pl.BlockSpec((d1, d2, _TILE), lambda t: (0, 0, t),
+                                      memory_space=pltpu.VMEM)
+    sds = jax.ShapeDtypeStruct
+    (A, B, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = pl.pallas_call(
+        kern,
+        grid=(tiles,),
+        out_shape=(
+            sds((nx, nx, n), f32), sds((nx, nu, n), f32), sds((nx, n), f32),
+            sds((nx, nx, n), f32), sds((nu, nu, n), f32),
+            sds((nx, n), f32), sds((nu, n), f32),
+            sds((nx, nx, n), f32), sds((nx, nx, n), f32),
+            sds((nx, n), f32), sds((nx, n), f32),
+        ),
+        in_specs=[smem, vec(nx), vec(nu), vec(3)] + [rep] * 10,
+        out_specs=(
+            mat(nx, nx), mat(nx, nu), vec(nx),
+            mat(nx, nx), mat(nu, nu), vec(nx), vec(nu),
+            mat(nx, nx), mat(nx, nx), vec(nx), vec(nx),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(rho, f32).reshape(1),
+        Xl, Ul, goals_l,
+        model.Hc, model.Hs, model.Hk, model.dHc, model.dHs, model.dHk,
+        model.Xc, model.Xs, model.Xk, model.I,
+    )
+
+    # ---- cross-knot assembly in XLA (cheap batched ops on (.., N) arrays)
+    lane = jnp.arange(n)
+    m1v = (lane >= 1).astype(f32)[None, :]          # (1, N)
+    m1 = m1v[None]                                  # (1, 1, N)
+    mN = (lane < n - 1).astype(f32)[None, None, :]
+
+    err = jnp.roll(Xl, -1, axis=1) - f_pred         # lane k: c_{k+1}
+    c = jnp.roll(err, 1, axis=1) * m1v              # lane k: c_k (c_0 = 0)
+
+    theta = Qinv + jnp.roll(T, 1, axis=2) * m1
+    phi = -jnp.roll(AQi, 1, axis=2) * m1
+    SU = -jnp.swapaxes(AQi, 0, 1) * mN
+    gamma = Qiq - jnp.roll(t_vec, 1, axis=1) * m1v - c
+
+    if precond:
+        theta_inv = pl.pallas_call(
+            _spd_inv_tile_kernel,
+            grid=(tiles,),
+            out_shape=sds((nx, nx, n), f32),
+            in_specs=[mat(nx, nx)],
+            out_specs=mat(nx, nx),
+            interpret=interpret,
+        )(theta)
+        ti_prev = jnp.roll(theta_inv, 1, axis=2)
+        ti_next = jnp.roll(theta_inv, -1, axis=2)
+        # full f32 accumulation: at default precision the MXU would run
+        # these stair products in bf16, degrading the preconditioner
+        hi = jax.lax.Precision.HIGHEST
+        PL = -jnp.einsum("ijn,jkn,kln->iln", theta_inv, phi, ti_prev,
+                         precision=hi) * m1
+        PU = -jnp.einsum("ijn,jkn,kln->iln", theta_inv, SU, ti_next,
+                         precision=hi) * mN
+        PD = theta_inv
+    else:
+        PD = jnp.broadcast_to(jnp.eye(nx, dtype=f32)[:, :, None],
+                              (nx, nx, n))
+        PL = jnp.zeros_like(theta)
+        PU = jnp.zeros_like(theta)
+
+    return LaneSchur(SL=phi, SD=theta, SU=SU, PL=PL, PD=PD, PU=PU,
+                     gamma=gamma, Qinv=Qinv, Rinv=Rinv, A=A, B=B,
+                     q=qg, r=rg)
 
 
 def compute_dz_lanes(ls: LaneSchur, lam_l):

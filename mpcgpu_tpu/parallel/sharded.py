@@ -41,15 +41,32 @@ def replicate(mesh: Mesh, *arrays):
 
 
 def sharded_sqp_solve(model, cfg, mesh: Mesh, X, U, lam, goals, xs, rho,
-                      pcg_exit_tol, linsys: str = "pcg"):
+                      pcg_exit_tol, linsys: str = "pcg",
+                      explicit_pcg: bool = False):
     """One SQP solve with the horizon sharded across the mesh.
 
     X, lam, goals shard evenly over the knot axis; U has N-1 rows and is
     padded-sharded by GSPMD.  Collectives (ICI all-reduce for PCG dots and
     merit sums, collective-permute for block-tridiagonal halos) are
     inserted by the partitioner.
+
+    explicit_pcg=True swaps the GSPMD-partitioned PCG for the
+    hand-collective shard_map kernel (pcg_sharded: psum dots + ppermute
+    halos) behind the standard linsys-backend seam, so the explicit
+    communication pattern is reachable from the production solve, not
+    just from tests.
     """
-    from mpcgpu_tpu.sqp import sqp_solve
+    from mpcgpu_tpu.sqp import register_linsys_backend, sqp_solve
+
+    if explicit_pcg:
+        from mpcgpu_tpu.parallel.pcg_sharded import pcg_sharded
+
+        def solve(cfg_, schur, lam_, tol):
+            return pcg_sharded(mesh, schur.S, schur.Pinv, schur.gamma, lam_,
+                               max_iter=cfg_.pcg.max_iter, exit_tol=tol)
+
+        register_linsys_backend("pcg_sharded", solve)
+        linsys = "pcg_sharded"
 
     X, lam, goals = shard_horizon(mesh, X, lam, goals)
     # U (and the other N-1-row arrays derived from it) have a ragged knot

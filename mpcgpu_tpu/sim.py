@@ -53,6 +53,13 @@ class MPCRecord:
     sqp_exits: List[bool] = dataclasses.field(default_factory=list)
     pcg_iters: List[int] = dataclasses.field(default_factory=list)
     pcg_exits: List[bool] = dataclasses.field(default_factory=list)
+    # per-update phase latencies, populated in fine_grained_timing mode
+    # (reference FINE_GRAINED_TIMING dumps, mpcsim.cuh:108-113)
+    kkt_times_us: List[float] = dataclasses.field(default_factory=list)
+    schur_times_us: List[float] = dataclasses.field(default_factory=list)
+    linsys_times_us: List[float] = dataclasses.field(default_factory=list)
+    dz_times_us: List[float] = dataclasses.field(default_factory=list)
+    line_search_times_us: List[float] = dataclasses.field(default_factory=list)
     final_tracking_error: float = float("nan")
     control_updates: int = 0
     timesteps: int = 0
@@ -205,9 +212,17 @@ def simulate_mpc(
     max_timesteps: Optional[int] = None,
     warmup_iters: int = 100,
     const_update_freq: bool = True,
+    fine_grained_timing: bool = False,
     verbose: bool = False,
 ) -> MPCRecord:
-    """Track a precomputed trajectory with the SQP solver in the loop."""
+    """Track a precomputed trajectory with the SQP solver in the loop.
+
+    fine_grained_timing=True runs each solver phase as a separately
+    jitted, hard-synced dispatch and records per-update KKT / Schur /
+    linsys / dz / line-search latencies in the MPCRecord (the reference's
+    FINE_GRAINED_TIMING build, pcg/sqp.cuh:38-40; per-dispatch overhead
+    included, so use it for relative phase breakdowns).
+    """
     n = cfg.knot_points
     nx, nu = cfg.nx, cfg.nu
     traj_steps = xu_traj.shape[0] if max_timesteps is None else min(
@@ -246,6 +261,13 @@ def simulate_mpc(
         res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho,
                         jnp.asarray(pcg_exit_tol, dtype), linsys)
         np.asarray(res.stats.final_merit)  # hard sync (see CLAUDE.md)
+        if fine_grained_timing:
+            # the fine-grained mode dispatches separately-jitted phases;
+            # compile them before the timed loop as well
+            from mpcgpu_tpu.sqp import sqp_solve_fine_grained
+
+            sqp_solve_fine_grained(model, cfg, X, U, lam, goals, xs, rho,
+                                   jnp.asarray(pcg_exit_tol, dtype), linsys)
 
     max_substeps = max(
         1, int(np.ceil(cfg.simulation_period_us * 1e-6 / cfg.sim_step_time)) + 1
@@ -266,7 +288,19 @@ def simulate_mpc(
             break
 
         t0 = time.perf_counter()
-        res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho, tol_j, linsys)
+        if fine_grained_timing:
+            from mpcgpu_tpu.sqp import sqp_solve_fine_grained
+
+            res, phase_times = sqp_solve_fine_grained(
+                model, cfg, X, U, lam, goals, xs, rho, tol_j, linsys)
+            rec.kkt_times_us.append(sum(phase_times["kkt"]))
+            rec.schur_times_us.append(sum(phase_times["schur"]))
+            rec.linsys_times_us.append(sum(phase_times["linsys"]))
+            rec.dz_times_us.append(sum(phase_times["dz"]))
+            rec.line_search_times_us.append(sum(phase_times["line_search"]))
+        else:
+            res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho, tol_j,
+                            linsys)
         # block_until_ready is not a hard sync on the remote-tunneled TPU
         # (CLAUDE.md); force the sync with a scalar fetch before timing.
         np.asarray(res.stats.final_merit)

@@ -163,7 +163,15 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
             "joint-space tracking runs on the portable stages only; "
             "set pallas_stages=False"
         )
-    if cfg.pallas_stages and cfg.knot_points <= 128:
+    # Fused stages cover all horizon lengths: the monolithic lane kernel up
+    # to 128 knots (single-tile lane width), the tiled grid kernel beyond
+    # (the round-1 Mosaic layout bug only hit multi-tile lane widths inside
+    # one kernel; see ops/pallas/kkt_schur_kernel.form_kkt_schur_tiled).
+    use_fused_stages = cfg.pallas_stages and (
+        cfg.knot_points <= 128 or cfg.knot_points % 128 == 0
+    )
+
+    if cfg.pallas_stages:
         from mpcgpu_tpu.ops.pallas.merit_kernel import line_search_merits_pallas
 
         def eval_merits(Xc, Uc, dX, dU):
@@ -203,11 +211,8 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
     def cond(st: _LoopState):
         return jnp.logical_and(st.it < n_iter, jnp.logical_not(st.done))
 
-    # The fused stage kernels are validated on hardware up to N = 128;
-    # beyond that the Mosaic layout pass miscompiles the tangent-RNEA
-    # kernel (tracked in CLAUDE.md), so large horizons run the portable
-    # stages with the fused PCG kernel, which is verified through N = 512.
-    use_fused_stages = cfg.pallas_stages and cfg.knot_points <= 128
+    # Horizons that are neither <= 128 nor a multiple of 128 fall back to
+    # portable stages with the fused PCG kernel (verified through N = 512).
     if cfg.pallas_stages and not use_fused_stages and linsys == "pcg":
         solve_fn = get_linsys_backend("pcg_pallas")
     if use_fused_stages or linsys == "pcg_pallas" or (
@@ -222,13 +227,16 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
 
     def linearize_and_solve(st: _LoopState):
         if use_fused_stages:
-            # fused lane-layout path: one kernel for KKT+Schur, one for
+            # fused lane-layout path: one kernel for KKT+Schur (gridded
+            # over 128-knot tiles for long horizons), one for
             # PCG + primal recovery
             from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
-                form_kkt_schur_pallas)
+                form_kkt_schur_pallas, form_kkt_schur_tiled)
             from mpcgpu_tpu.ops.pallas.pcg_kernel import pcg_dz_pallas_lanes
 
-            ls = form_kkt_schur_pallas(
+            form_fn = (form_kkt_schur_pallas if cfg.knot_points <= 128
+                       else form_kkt_schur_tiled)
+            ls = form_fn(
                 model, st.X, st.U, goals, xs, st.rho, cfg.timestep,
                 cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
                 cfg.gravity, cfg.cost.hessian, cfg.pcg.preconditioned,
@@ -301,6 +309,129 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
 
 
 # ---------------------------------------------------------------------------
+# Fine-grained per-phase timing mode (reference FINE_GRAINED_TIMING)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _phase_kkt(model, cfg: SolverConfig, X, U, goals, xs):
+    return form_kkt(
+        model, X, U, goals, xs, cfg.timestep, cfg.cost.qd_cost,
+        cfg.cost.r_cost, cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
+        cfg.angle_wrap, cfg.cost.tracking, cfg.cost.q_cost,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _phase_schur(cfg: SolverConfig, kkt, rho):
+    return form_schur(kkt, rho, preconditioned=cfg.pcg.preconditioned)
+
+
+@partial(jax.jit, static_argnames=("cfg", "linsys"))
+def _phase_linsys(cfg: SolverConfig, schur, lam, pcg_exit_tol,
+                  linsys: str = "pcg"):
+    return get_linsys_backend(linsys)(cfg, schur, lam, pcg_exit_tol)
+
+
+_phase_dz = jax.jit(compute_dz)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _phase_line_search(model, cfg: SolverConfig, X, U, dX, dU, goals, xs):
+    alphas = (1.0 / 2 ** jnp.arange(cfg.num_alphas)).astype(X.dtype)
+    merits = merit_ops.line_search_merits(
+        model, X, U, dX, dU, alphas, goals, xs, cfg.timestep, cfg.merit_mu,
+        cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type, cfg.gravity,
+        cfg.angle_wrap, cfg.cost.tracking, cfg.cost.q_cost,
+    )
+    best = jnp.argmin(merits)
+    return merits[best], alphas[best]
+
+
+def sqp_solve_fine_grained(model: RobotModel, cfg: SolverConfig, X, U, lam,
+                           goals, xs, rho, pcg_exit_tol, linsys: str = "pcg"):
+    """SQP solve with per-phase device latencies, the counterpart of the
+    reference's FINE_GRAINED_TIMING build (pcg/sqp.cuh:38-40,207-352:
+    KKT / Schur / linsys / dz / line-search times threaded through the
+    return tuple into per-update .result dumps).
+
+    Each phase runs as its own jitted dispatch with a hard sync, so the
+    absolute numbers include per-dispatch overhead (~1 ms on a
+    remote-attached TPU -- see CLAUDE.md); like the reference's, this
+    mode is for the *relative* phase breakdown, while the fused
+    ``sqp_solve`` is the production path.
+
+    Returns (SQPResult, phase_times) where phase_times maps
+    {"kkt", "schur", "linsys", "dz", "line_search"} -> list of
+    microseconds, one entry per executed SQP iteration.
+    """
+    import time as _time
+
+    import numpy as np
+
+    def timed(fn, *args, **kw):
+        t0 = _time.perf_counter()
+        out = fn(*args, **kw)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf)  # hard sync (block_until_ready is soft here)
+        return out, (_time.perf_counter() - t0) * 1e6
+
+    merit = merit_ops.merit(
+        model, X, U, goals, xs, cfg.timestep, cfg.merit_mu,
+        cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type, cfg.gravity,
+        cfg.angle_wrap, cfg.cost.tracking, cfg.cost.q_cost,
+    )
+    rho = jnp.asarray(rho, X.dtype)
+    drho = jnp.asarray(1.0, X.dtype)
+    f = float(cfg.rho_factor)
+
+    times = {k: [] for k in ("kkt", "schur", "linsys", "dz", "line_search")}
+    pcg_iters, pcg_hits, accepted = [], [], []
+    bailed = False
+    it = 0
+    while it < cfg.sqp_max_iter:
+        kkt, t_kkt = timed(_phase_kkt, model, cfg, X, U, goals, xs)
+        schur, t_schur = timed(_phase_schur, cfg, kkt, rho)
+        (lam_new, pcg_it, hit), t_lin = timed(
+            _phase_linsys, cfg, schur, lam, pcg_exit_tol, linsys)
+        (dX, dU), t_dz = timed(_phase_dz, kkt, schur, lam_new)
+        (best_merit, alpha), t_ls = timed(
+            _phase_line_search, model, cfg, X, U, dX, dU, goals, xs)
+
+        for k, t in zip(times, (t_kkt, t_schur, t_lin, t_dz, t_ls)):
+            times[k].append(t)
+        lam = lam_new
+        it += 1
+        pcg_iters.append(int(pcg_it))
+        pcg_hits.append(bool(hit))
+
+        accept = bool(best_merit < merit)
+        accepted.append(accept)
+        if accept:
+            drho = jnp.minimum(drho / f, 1.0 / f)
+            rho = jnp.maximum(rho * drho, cfg.rho_min)
+            X = X + alpha * dX
+            U = U + alpha * dU
+            merit = best_merit
+        else:
+            drho = jnp.maximum(drho * f, f)
+            rho = jnp.maximum(rho * drho, cfg.rho_min)
+            if float(rho) > cfg.rho_max:
+                rho = jnp.asarray(cfg.rho_reset, X.dtype)
+                bailed = True
+                break
+
+    pad = cfg.sqp_max_iter - len(pcg_iters)
+    stats = SQPStats(
+        pcg_iters=jnp.asarray(pcg_iters + [-1] * pad),
+        pcg_hit_max=jnp.asarray(pcg_hits + [False] * pad),
+        accepted=jnp.asarray(accepted + [False] * pad),
+        sqp_iters=jnp.int32(it), rho_bailed=jnp.bool_(bailed),
+        final_merit=merit,
+    )
+    return SQPResult(X=X, U=U, lam=lam, rho=rho, stats=stats), times
+
+
+# ---------------------------------------------------------------------------
 # Wall-clock time-boxed mode (reference CONST_UPDATE_FREQ semantics)
 # ---------------------------------------------------------------------------
 
@@ -358,6 +489,15 @@ def sqp_solve_timeboxed(model: RobotModel, cfg: SolverConfig, X, U, lam,
     experiments.
     """
     import time as _time
+
+    # compile outside the budget: the reference's time box measures solver
+    # work, not nvcc; a first-call XLA compile must not eat the 2 ms budget
+    # and return a 0-iteration "solve".
+    warm = sqp_iteration(model, cfg, X, U, lam, goals, xs,
+                         jnp.asarray(rho, X.dtype),
+                         jnp.asarray(1.0, X.dtype),
+                         jnp.asarray(jnp.inf, X.dtype), pcg_exit_tol, linsys)
+    jax.block_until_ready(warm[0])
 
     t0 = _time.perf_counter()
     merit0 = merit_ops.merit(

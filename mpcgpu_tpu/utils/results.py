@@ -30,6 +30,15 @@ def dump_tracking_data(record, prefix: str, test_iter: int, out_dir) -> None:
     dump("sqp_exits", [int(b) for b in record.sqp_exits])
     dump("tracking_errors", record.tracking_errors)
 
+    # fine-grained per-phase dumps (reference FINE_GRAINED_TIMING,
+    # mpcsim.cuh:108-113); written only when the mode recorded them
+    if getattr(record, "linsys_times_us", None):
+        dump("kkt_times", record.kkt_times_us)
+        dump("schur_times", record.schur_times_us)
+        dump("linsys_times", record.linsys_times_us)
+        dump("dz_times", record.dz_times_us)
+        dump("line_search_times", record.line_search_times_us)
+
     with open(fname("tracking_path"), "w") as f:
         for row in record.tracking_path:
             f.write(",".join(str(x) for x in np.asarray(row)) + ",\n")

@@ -1,0 +1,221 @@
+#!/usr/bin/env python3
+"""On-hardware Pallas kernel regression: compile + run every fused kernel
+across the reference's tuned horizon range and assert numeric agreement
+with the portable XLA stages.
+
+The pytest suite runs kernels in interpreter mode on CPU, so Mosaic
+compile/layout regressions (the round-1 bug class) are invisible to it;
+this script is the hardware gate.  Run under the default (TPU) env:
+
+    python scripts/tpu_kernel_regression.py [--ns 32 64 128 256 512]
+
+Archives pass/fail + max errors to results/kernel_regression_<dev>.json
+and exits non-zero on any failure (compile crash or numeric mismatch).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+
+def _maxerr(a, b):
+    return float(np.abs(np.asarray(a) - np.asarray(b)).max())
+
+
+def _relerr(a, b):
+    """Max abs error relative to the target's scale (theta/Qinv entries are
+    O(1/rho) = 1e3+, so absolute tolerances are meaningless there)."""
+    b = np.asarray(b)
+    return _maxerr(a, b) / max(float(np.abs(b).max()), 1e-12)
+
+
+def check_kkt_schur(model, X, U, goals, xs, rho, results, n):
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.ops.kkt import form_kkt
+    from mpcgpu_tpu.ops.schur import form_schur
+    from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
+        form_kkt_schur_pallas, form_kkt_schur_tiled)
+
+    kkt = form_kkt(model, X, U, goals, xs, 0.015625, 1e-4, 1e-3)
+    sch = form_schur(kkt, rho, preconditioned=True)
+    form = form_kkt_schur_pallas if n <= 128 else form_kkt_schur_tiled
+    ls = form(model, X, U, goals, xs, rho, 0.015625, 1e-4, 1e-3,
+              interpret=False)
+
+    l2k = lambda a: np.transpose(np.asarray(a), (2, 0, 1))
+    errs = {
+        "theta": _relerr(l2k(ls.SD), sch.S.diag),
+        "phi": _relerr(l2k(ls.SL), sch.S.lower),
+        "su": _relerr(l2k(ls.SU), sch.S.upper),
+        "gamma": _relerr(np.asarray(ls.gamma).T, sch.gamma),
+        "pinv_diag": _relerr(l2k(ls.PD), sch.Pinv.diag),
+        "pinv_lower": _relerr(l2k(ls.PL), sch.Pinv.lower),
+        "pinv_upper": _relerr(l2k(ls.PU), sch.Pinv.upper),
+    }
+    # gamma tolerates 1e-3: it is Qinv-amplified (||Qinv|| ~ 1/rho = 1e3
+    # turns f32 transcendental noise of ~1e-7 into ~1e-4 relative here)
+    ok = all(e < 1e-4 for k, e in errs.items() if k != "gamma")
+    ok = ok and errs["gamma"] < 1e-3
+    results[f"kkt_schur_n{n}"] = {"ok": ok, "kernel": form.__name__, **errs}
+    return ls, sch, kkt, ok
+
+
+def check_pcg_dz(ls, sch, kkt, lam0, results, n):
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.ops.dz import compute_dz
+    from mpcgpu_tpu.ops.pcg import pcg
+    from mpcgpu_tpu.ops.pallas.pcg_kernel import pcg_dz_pallas_lanes
+
+    max_iter, tol = 120, 1e-9
+    lam_l, dX, dU, iters, hit = pcg_dz_pallas_lanes(
+        ls, lam0.T, max_iter, jnp.asarray(tol, jnp.float32), interpret=False)
+    ref = pcg(sch.S, sch.Pinv, sch.gamma, lam0, max_iter=max_iter,
+              exit_tol=tol)
+    dX_ref, dU_ref = compute_dz(kkt, sch, ref.lam)
+    errs = {
+        "lam": _relerr(np.asarray(lam_l).T, ref.lam),
+        "dx": _relerr(dX, dX_ref),
+        "du": _relerr(dU, dU_ref),
+        "iters_fused": int(iters),
+        "iters_ref": int(ref.iters),
+    }
+    ok = errs["lam"] < 1e-3 and errs["dx"] < 1e-3 and errs["du"] < 1e-3
+    results[f"pcg_dz_n{n}"] = {"ok": ok, **errs}
+    return ok
+
+
+def check_merit(model, X, U, goals, xs, results, n):
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.ops import merit as merit_ops
+    from mpcgpu_tpu.ops.pallas.merit_kernel import line_search_merits_pallas
+
+    key_dX = 1e-3 * np.sin(np.arange(X.size)).reshape(X.shape)
+    dX = jnp.asarray(key_dX, jnp.float32)
+    dU = jnp.asarray(1e-3 * np.cos(np.arange(U.size)).reshape(U.shape),
+                     jnp.float32)
+    alphas = (1.0 / 2 ** jnp.arange(8)).astype(jnp.float32)
+    got = line_search_merits_pallas(
+        model, X, U, dX, dU, 8, goals, xs, 0.015625, 10.0, 1e-4, 1e-3,
+        interpret=False)[:8]
+    want = merit_ops.line_search_merits(
+        model, X, U, dX, dU, alphas, goals, xs, 0.015625, 10.0, 1e-4, 1e-3)
+    rel = float(np.max(np.abs(np.asarray(got) - np.asarray(want))
+                       / np.maximum(np.abs(np.asarray(want)), 1e-6)))
+    ok = rel < 2e-3
+    results[f"merit_n{n}"] = {"ok": ok, "rel_err": rel}
+    return ok
+
+
+def check_rollout(model, X, U, goals, results):
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.ops.pallas.rollout_kernel import plant_rollout_pallas
+    from mpcgpu_tpu.sim import _plant_rollout, _tracking_error
+
+    cfg = SolverConfig()
+    xs = X[0]
+    got_x, got_e = plant_rollout_pallas(
+        model, xs, U, goals[0], 0.0, 2000.0, cfg.timestep,
+        cfg.sim_step_time, 11, cfg.gravity, interpret=False)
+    want_x = _plant_rollout(model, cfg, xs, U, jnp.asarray(0.0, jnp.float32),
+                            jnp.asarray(2000.0, jnp.float32), 11)
+    want_e = _tracking_error(model, want_x, goals[0])
+    errs = {"x": _maxerr(got_x, want_x), "err": _maxerr(got_e, want_e)}
+    ok = all(e < 2e-4 for e in errs.values())
+    results["rollout"] = {"ok": ok, **errs}
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ns", type=int, nargs="*",
+                    default=[32, 64, 128, 256, 512])
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    # f32 reference values: at default precision the portable path's
+    # einsums run on the MXU in bf16, which would swamp the comparison.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
+
+    import __graft_entry__ as g
+
+    results: dict = {"device": str(dev), "ts": time.time()}
+    all_ok = True
+    rho = jnp.asarray(1e-3, jnp.float32)
+
+    for n in args.ns:
+        model, (X, U, lam, goals, xs) = g._problem(n)
+        t0 = time.time()
+        for name, fn in (
+            ("kkt_schur", lambda: check_kkt_schur(model, X, U, goals, xs,
+                                                  rho, results, n)),
+        ):
+            try:
+                ls, sch, kkt, ok = fn()
+                all_ok &= ok
+            except Exception:
+                results[f"{name}_n{n}"] = {"ok": False,
+                                           "error": traceback.format_exc()[-800:]}
+                all_ok = False
+                ls = None
+        if ls is not None:
+            for name, fn in (
+                ("pcg_dz", lambda: check_pcg_dz(ls, sch, kkt, lam, results, n)),
+                ("merit", lambda: check_merit(model, X, U, goals, xs,
+                                              results, n)),
+            ):
+                try:
+                    all_ok &= fn()
+                except Exception:
+                    results[f"{name}_n{n}"] = {
+                        "ok": False, "error": traceback.format_exc()[-800:]}
+                    all_ok = False
+        print(f"N={n}: {time.time() - t0:.1f}s "
+              f"{'OK' if all_ok else 'FAILURES (see json)'}")
+        for key in (f"kkt_schur_n{n}", f"pcg_dz_n{n}", f"merit_n{n}"):
+            if key in results:
+                print(f"  {key}: {results[key]}")
+        # checkpoint partial results so mid-run failures are inspectable
+        out = Path(args.out) if args.out else (
+            REPO / "results" / f"kernel_regression_{dev.platform}.json")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(results, indent=1))
+
+    try:
+        model, (X, U, lam, goals, xs) = g._problem(32)
+        all_ok &= check_rollout(model, X, U, goals, results)
+    except Exception:
+        results["rollout"] = {"ok": False,
+                              "error": traceback.format_exc()[-800:]}
+        all_ok = False
+
+    results["all_ok"] = all_ok
+    out = Path(args.out) if args.out else (
+        REPO / "results" / f"kernel_regression_{dev.platform}.json")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=1))
+    print(f"{'ALL OK' if all_ok else 'FAILURES'} -> {out}")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

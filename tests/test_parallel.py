@@ -55,3 +55,28 @@ def test_sharded_sqp_solve_runs(mesh, iiwa, traj_0_0):
                             jnp.asarray(1e-6, jnp.float32))
     assert np.isfinite(np.asarray(res.X)).all()
     assert np.isfinite(float(res.stats.final_merit))
+
+
+def test_sharded_sqp_solve_explicit_pcg(mesh, iiwa, traj_0_0):
+    """explicit_pcg=True routes the solve through the hand-collective
+    shard_map PCG (psum dots + ppermute halos) and must agree with the
+    GSPMD-partitioned solve."""
+    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.parallel.sharded import sharded_sqp_solve
+
+    xu, ee = traj_0_0
+    n = 16
+    cfg = SolverConfig.for_knots(n, sqp_max_iter=2)
+    X = jnp.asarray(xu[:n, :14]); U = jnp.asarray(xu[:n - 1, 14:])
+    goals = jnp.asarray(ee[:n]); xs = X[0]
+    lam = jnp.zeros((n, 14), jnp.float32)
+    rho = jnp.asarray(1e-3, jnp.float32)
+    tol = jnp.asarray(1e-6, jnp.float32)
+
+    res_exp = sharded_sqp_solve(iiwa, cfg, mesh, X, U, lam, goals, xs,
+                                rho, tol, explicit_pcg=True)
+    res_gspmd = sharded_sqp_solve(iiwa, cfg, mesh, X, U, lam, goals, xs,
+                                  rho, tol)
+    assert np.isfinite(np.asarray(res_exp.X)).all()
+    np.testing.assert_allclose(np.asarray(res_exp.X),
+                               np.asarray(res_gspmd.X), rtol=2e-4, atol=2e-5)
