@@ -1,0 +1,156 @@
+"""Fused single-kernel block-cyclic-reduction solve + primal recovery.
+
+Lane-layout twin of ops/btsolve.py: the block-tridiagonal Schur system
+stays VMEM-resident and is solved EXACTLY in log2(N) elimination levels
+of lane-parallel (s, s, N) products -- the TPU-native alternative to the
+reference's iterative GBD-PCG kernel (SURVEY.md C20), trading ~100+ CG
+iterations per SQP step for ~2 log2(N) batched block products with no
+exit-tolerance tuning.
+
+Mosaic-safe full-width formulation: every level computes candidate
+updates for ALL lanes (rolls for the +-2^l neighbors, iota masks for
+existence/keep predicates) and selects -- strided lane slicing and
+compaction shuffles are not available in-kernel.  Eliminated lanes'
+blocks freeze automatically (never selected again), which is exactly
+the state back-substitution needs.
+
+The dz (primal recovery) tail is identical to the PCG kernel's
+(ops/pallas/pcg_kernel.py:_pcg_dz_kernel).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpcgpu_tpu.ops.pallas import lanedyn as ld
+
+
+def _bcr_lanes(D, L, U, g):
+    """Solve the block-tridiagonal system in lane layout.
+
+    D, L, U: (s, s, N); g: (s, N).  L[:, :, 0] and U[:, :, N-1] must be
+    zero (the LaneSchur convention).  N must be a power of 2.
+    Returns lam (s, N).
+    """
+    n = g.shape[1]
+    levels = n.bit_length() - 1
+    assert 1 << levels == n, f"lane BCR needs power-of-2 N, got {n}"
+    dtype = g.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def mask_m(pred):   # (1,1,N) matrix mask
+        return pred.astype(dtype)[None]
+
+    def mask_v(pred):   # (1,N) vector mask
+        return pred.astype(dtype)
+
+    for l in range(levels):
+        h = 1 << l
+        kept = lane % (2 * h) == 0
+        has_l = jnp.logical_and(kept, lane >= h)
+        has_r = jnp.logical_and(kept, lane + h <= n - 1)
+        mLm, mRm = mask_m(has_l), mask_m(has_r)
+        mLv, mRv = mask_v(has_l), mask_v(has_r)
+
+        Dinv = ld.spd_inverse_lane(D)
+        # lane i reads i-h via roll(+h), i+h via roll(n-h); masks kill wrap
+        Dm = pltpu.roll(Dinv, h, axis=2)
+        Lm = pltpu.roll(L, h, axis=2)
+        Um = pltpu.roll(U, h, axis=2)
+        gm = pltpu.roll(g, h, axis=1)
+        Dp = pltpu.roll(Dinv, n - h, axis=2)
+        Lp = pltpu.roll(L, n - h, axis=2)
+        Up = pltpu.roll(U, n - h, axis=2)
+        gp = pltpu.roll(g, n - h, axis=1)
+
+        LDm = ld.lane_matmul(L, Dm)   # L_i Dinv_{i-h}
+        UDp = ld.lane_matmul(U, Dp)   # U_i Dinv_{i+h}
+
+        D_new = (D - mLm * ld.lane_matmul(LDm, Um)
+                 - mRm * ld.lane_matmul(UDp, Lp))
+        g_new = (g - mLv * ld.lane_matvec(LDm, gm)
+                 - mRv * ld.lane_matvec(UDp, gp))
+        L_new = -mLm * ld.lane_matmul(LDm, Lm)
+        U_new = -mRm * ld.lane_matmul(UDp, Up)
+
+        km, kv = mask_m(kept), mask_v(kept)
+        D = km * D_new + (1.0 - km) * D
+        L = km * L_new + (1.0 - km) * L
+        U = km * U_new + (1.0 - km) * U
+        g = kv * g_new + (1.0 - kv) * g
+
+    # every lane's D/L/U/g is now frozen at its elimination level (lane 0
+    # at the final level); one full-width inverse serves the root solve
+    # and all back-substitution levels.
+    Dinv = ld.spd_inverse_lane(D)
+    lam = ld.lane_matvec(Dinv, g) * mask_v(lane == 0)
+
+    for l in range(levels - 1, -1, -1):
+        h = 1 << l
+        elim = lane % (2 * h) == h
+        has_r = jnp.logical_and(elim, lane + h <= n - 1)
+        lam_left = pltpu.roll(lam, h, axis=1)
+        lam_right = pltpu.roll(lam, n - h, axis=1) * mask_v(has_r)
+        rhs = (g - ld.lane_matvec(L, lam_left)
+               - ld.lane_matvec(U, lam_right))
+        lam_new = ld.lane_matvec(Dinv, rhs)
+        ev = mask_v(elim)
+        lam = ev * lam_new + (1.0 - ev) * lam
+
+    return lam
+
+
+def _bcr_dz_kernel(s: int, nu: int,
+                   sl_ref, sd_ref, su_ref, gamma_ref,
+                   a_ref, b_ref, qg_ref, rg_ref, qinv_ref, rinv_ref,
+                   lam_out_ref, dx_out_ref, du_out_ref):
+    lam = _bcr_lanes(sd_ref[:], sl_ref[:], su_ref[:], gamma_ref[:])
+    lam_out_ref[:] = lam
+
+    # primal recovery, identical math to pcg_kernel._pcg_dz_kernel
+    n = lam.shape[1]
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    m_last = (k < n - 1).astype(lam.dtype)
+    lam_next = pltpu.roll(lam, n - 1, axis=1) * m_last
+
+    A = a_ref[:]
+    B = b_ref[:]
+    At_lam = ld.lane_matvec_T(A, lam_next) * m_last
+    rhs_x = qg_ref[:] - lam + At_lam
+    dx_out_ref[:] = -ld.lane_matvec(qinv_ref[:], rhs_x)
+    Bt_lam = ld.lane_matvec_T(B, lam_next)
+    du_out_ref[:] = -ld.lane_matvec(rinv_ref[:], rg_ref[:] + Bt_lam)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bcr_dz_pallas_lanes(ls, interpret: bool = None):
+    """Exact solve + primal recovery from a LaneSchur system.
+
+    Drop-in for pcg_dz_pallas_lanes (no warm start / tolerance needed):
+    returns (lam (s,N), dX (N,s), dU (N-1,nu), iters=0, hit_max=False).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, n = ls.gamma.shape
+    nu = ls.Rinv.shape[0]
+    f32 = ls.gamma.dtype
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    lam_t, dx_t, du_t = pl.pallas_call(
+        functools.partial(_bcr_dz_kernel, s, nu),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, n), f32),
+            jax.ShapeDtypeStruct((s, n), f32),
+            jax.ShapeDtypeStruct((nu, n), f32),
+        ),
+        in_specs=[vmem] * 10,
+        out_specs=(vmem, vmem, vmem),
+        interpret=interpret,
+    )(
+        ls.SL, ls.SD, ls.SU, ls.gamma,
+        ls.A, ls.B, ls.q, ls.r, ls.Qinv, ls.Rinv,
+    )
+    return lam_t, dx_t.T, du_t.T[:-1], jnp.int32(0), jnp.bool_(False)

@@ -110,6 +110,7 @@ _LINSYS_BACKENDS = {
 _LAZY_BACKEND_MODULES = {
     "pcg_pallas": "mpcgpu_tpu.ops.pallas.pcg_kernel",
     "qdldl": "mpcgpu_tpu.linsys.qdldl_host",
+    "bcr": "mpcgpu_tpu.ops.btsolve",
 }
 
 
@@ -239,11 +240,20 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
             ls = form_fn(
                 model, st.X, st.U, goals, xs, st.rho, cfg.timestep,
                 cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
-                cfg.gravity, cfg.cost.hessian, cfg.pcg.preconditioned,
+                cfg.gravity, cfg.cost.hessian,
+                cfg.pcg.preconditioned and linsys != "bcr",
             )
-            lam_l, dX, dU, pcg_it, hit_max = pcg_dz_pallas_lanes(
-                ls, st.lam.T, cfg.pcg.max_iter, pcg_exit_tol,
-            )
+            if linsys == "bcr":
+                # exact block-cyclic-reduction kernel (no preconditioner
+                # formation, no warm start, no exit-tolerance tuning)
+                from mpcgpu_tpu.ops.pallas.bcr_kernel import (
+                    bcr_dz_pallas_lanes)
+
+                lam_l, dX, dU, pcg_it, hit_max = bcr_dz_pallas_lanes(ls)
+            else:
+                lam_l, dX, dU, pcg_it, hit_max = pcg_dz_pallas_lanes(
+                    ls, st.lam.T, cfg.pcg.max_iter, pcg_exit_tol,
+                )
             return lam_l.T, pcg_it, hit_max, dX, dU
         kkt = form_kkt(
             model, st.X, st.U, goals, xs, cfg.timestep,

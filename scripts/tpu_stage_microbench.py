@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""Per-stage device-time microbenchmark for the fused solver kernels.
+
+Measures each fused stage inside a lax.scan (device-resident, outputs fed
+back to defeat CSE/DCE), so per-iteration numbers exclude dispatch
+overhead -- the honest-measurement recipe for this remote-attached TPU
+(CLAUDE.md).  Informs where the SQP-iteration time actually goes before
+optimizing (megakernel vs fewer PCG iterations vs faster SpMV).
+
+    python scripts/tpu_stage_microbench.py [--n 64] [--iters 200]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+
+def timed_scan(fn, carry, iters, label, results):
+    """Device time per iteration of fn inside a lax.scan."""
+    import jax
+
+    @partial(jax.jit, static_argnames=("k",))
+    def run(c, k):
+        return jax.lax.scan(lambda c, _: (fn(c), None), c,
+                            None, length=k)[0]
+
+    # compile + warm
+    out = run(carry, iters)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    out = run(carry, iters)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    dt = (time.perf_counter() - t0) * 1e6
+    # subtract the single-dispatch overhead using a 1-iteration run
+    out1 = run(carry, 1)
+    np.asarray(jax.tree_util.tree_leaves(out1)[0])
+    t0 = time.perf_counter()
+    out1 = run(carry, 1)
+    np.asarray(jax.tree_util.tree_leaves(out1)[0])
+    dt1 = (time.perf_counter() - t0) * 1e6
+    per_iter = (dt - dt1) / max(iters - 1, 1)
+    results[label] = {"us_per_iter": round(per_iter, 2),
+                      "wall_us_total": round(dt, 1)}
+    print(f"{label}: {per_iter:.1f} us/iter")
+    return per_iter
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--pcg-iters", type=int, default=140,
+                    help="fixed CG iteration count for the PCG stage bench")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform}, N={args.n}")
+
+    import __graft_entry__ as g
+    from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
+        form_kkt_schur_pallas, form_kkt_schur_tiled)
+    from mpcgpu_tpu.ops.pallas.merit_kernel import line_search_merits_pallas
+    from mpcgpu_tpu.ops.pallas.pcg_kernel import pcg_dz_pallas_lanes
+
+    n = args.n
+    model, (X, U, lam, goals, xs) = g._problem(n)
+    rho = jnp.asarray(1e-3, jnp.float32)
+    results = {"device": str(dev), "n": n, "iters": args.iters,
+               "pcg_iters_fixed": args.pcg_iters}
+
+    form = form_kkt_schur_pallas if n <= 128 else form_kkt_schur_tiled
+    interp = jax.default_backend() != "tpu"
+
+    # --- stage 1: KKT + Schur formation ---
+    def kkt_step(Xc):
+        ls = form(model, Xc, U, goals, xs, rho, 0.015625, 1e-4, 1e-3,
+                  interpret=interp)
+        return Xc + 1e-12 * ls.gamma.T  # feed back to defeat CSE
+
+    timed_scan(kkt_step, X, args.iters, f"kkt_schur_n{n}", results)
+
+    # --- stage 2: PCG + dz at a fixed iteration count (tol=0) ---
+    ls0 = form(model, X, U, goals, xs, rho, 0.015625, 1e-4, 1e-3,
+               interpret=interp)
+
+    def pcg_step(lam_l):
+        lam_new, dX, dU, it, hit = pcg_dz_pallas_lanes(
+            ls0, lam_l, args.pcg_iters, jnp.asarray(0.0, jnp.float32),
+            interpret=interp)
+        return lam_new * 0.999  # feed back
+
+    t_pcg = timed_scan(pcg_step, lam.T, max(args.iters // 4, 20),
+                       f"pcg_dz_{args.pcg_iters}it_n{n}", results)
+    results[f"pcg_us_per_cg_iter_n{n}"] = round(t_pcg / args.pcg_iters, 3)
+    print(f"  -> {t_pcg / args.pcg_iters:.2f} us per CG iteration")
+
+    # --- stage 2b: exact BCR solve + dz (the PCG alternative) ---
+    from mpcgpu_tpu.ops.pallas.bcr_kernel import bcr_dz_pallas_lanes
+
+    def bcr_step(scale):
+        ls_s = ls0._replace(gamma=ls0.gamma * scale)
+        lam_new, dX, dU, it, hit = bcr_dz_pallas_lanes(ls_s, interpret=interp)
+        return scale * 0.9999 + 1e-20 * lam_new[0, 0]
+
+    timed_scan(bcr_step, jnp.float32(1.0), max(args.iters // 4, 20),
+               f"bcr_dz_n{n}", results)
+
+    # --- stage 3: 9-candidate merit line search ---
+    dX0 = 1e-3 * jnp.ones_like(X)
+    dU0 = 1e-3 * jnp.ones_like(U)
+
+    def merit_step(Xc):
+        m = line_search_merits_pallas(
+            model, Xc, U, dX0, dU0, 8, goals, xs, 0.015625, 10.0, 1e-4,
+            1e-3, interpret=interp)
+        return Xc + 1e-12 * m[0]
+
+    timed_scan(merit_step, X, args.iters, f"merit_n{n}", results)
+
+    # --- full marginal SQP iteration (sqp_solve at 2 vs 6 iters) ---
+    from mpcgpu_tpu.config import PCGConfig, SolverConfig
+    import dataclasses
+
+    def solve_time(sqp_iters, reps=24):
+        cfg = dataclasses.replace(
+            SolverConfig.for_knots(n, sqp_max_iter=sqp_iters),
+            pallas_stages=True)
+
+        @partial(jax.jit, static_argnames=())
+        def run(Xc):
+            def body(c, _):
+                res = _solve(Xc, c)
+                return c * 0.999 + 1e-12 * res, None
+            return jax.lax.scan(body, jnp.float32(1.0), None, length=reps)[0]
+
+        from mpcgpu_tpu.sqp import sqp_solve
+
+        def _solve(Xc, scale):
+            res = sqp_solve(model, cfg, Xc * (1.0 + 1e-9 * scale), U, lam,
+                            goals, xs, rho, jnp.asarray(1e-5, jnp.float32))
+            return res.stats.final_merit
+
+        out = run(X); np.asarray(out)
+        t0 = time.perf_counter()
+        out = run(X); np.asarray(out)
+        return (time.perf_counter() - t0) * 1e6 / reps
+
+    t2 = solve_time(2)
+    t6 = solve_time(6)
+    marginal = (t6 - t2) / 4
+    results[f"sqp_solve_2it_n{n}_us"] = round(t2, 1)
+    results[f"sqp_solve_6it_n{n}_us"] = round(t6, 1)
+    results[f"sqp_marginal_iter_n{n}_us"] = round(marginal, 2)
+    print(f"solve 2it {t2:.0f} us, 6it {t6:.0f} us -> "
+          f"marginal SQP iteration {marginal:.1f} us")
+
+    out = Path(args.out) if args.out else (
+        REPO / "results" / f"stage_microbench_n{n}.json")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=1))
+    print(f"-> {out}")
+
+
+if __name__ == "__main__":
+    main()
