@@ -95,6 +95,24 @@ def check_pcg_dz(ls, sch, kkt, lam0, results, n):
     return ok
 
 
+def check_bcr_dz(ls, sch, kkt, results, n):
+    from mpcgpu_tpu.ops.btsolve import bcr_solve
+    from mpcgpu_tpu.ops.dz import compute_dz
+    from mpcgpu_tpu.ops.pallas.bcr_kernel import bcr_dz_pallas_lanes
+
+    lam_l, dX, dU, _, _ = bcr_dz_pallas_lanes(ls, interpret=False)
+    lam_ref = bcr_solve(sch.S, sch.gamma)
+    dX_ref, dU_ref = compute_dz(kkt, sch, lam_ref)
+    errs = {
+        "lam": _relerr(np.asarray(lam_l).T, lam_ref),
+        "dx": _relerr(dX, dX_ref),
+        "du": _relerr(dU, dU_ref),
+    }
+    ok = all(e < 1e-3 for e in errs.values())
+    results[f"bcr_dz_n{n}"] = {"ok": ok, **errs}
+    return ok
+
+
 def check_merit(model, X, U, goals, xs, results, n):
     import jax.numpy as jnp
 
@@ -180,6 +198,7 @@ def main():
         if ls is not None:
             for name, fn in (
                 ("pcg_dz", lambda: check_pcg_dz(ls, sch, kkt, lam, results, n)),
+                ("bcr_dz", lambda: check_bcr_dz(ls, sch, kkt, results, n)),
                 ("merit", lambda: check_merit(model, X, U, goals, xs,
                                               results, n)),
             ):
@@ -191,7 +210,8 @@ def main():
                     all_ok = False
         print(f"N={n}: {time.time() - t0:.1f}s "
               f"{'OK' if all_ok else 'FAILURES (see json)'}")
-        for key in (f"kkt_schur_n{n}", f"pcg_dz_n{n}", f"merit_n{n}"):
+        for key in (f"kkt_schur_n{n}", f"pcg_dz_n{n}", f"bcr_dz_n{n}",
+                    f"merit_n{n}"):
             if key in results:
                 print(f"  {key}: {results[key]}")
         # checkpoint partial results so mid-run failures are inspectable
