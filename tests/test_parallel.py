@@ -39,6 +39,46 @@ def test_pcg_sharded_matches_single_device(mesh):
     assert abs(int(iters) - int(ref.iters)) <= 3
 
 
+def test_collectives_in_compiled_hlo(mesh):
+    """The sharded paths must actually COMMUNICATE, not all-gather to one
+    device: the compiled programs must contain ICI collectives (all-reduce
+    for the PCG dot products, collective-permute for the k+-1 halos) --
+    the multi-chip analogue of the reference's cooperative-groups grid
+    syncs and reduction slots (reference include/pcg/sqp.cuh:137-166)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mpcgpu_tpu.parallel.pcg_sharded import pcg_sharded
+
+    kkt = random_kkt(seed=3, n=N_SHARD)
+    sd = form_schur(kkt, RHO)
+    lam0 = jnp.zeros((N_SHARD, NX), jnp.float32)
+
+    # explicit shard_map path: psum + ppermute by construction
+    lowered = jax.jit(
+        lambda S, Pinv, g, l0: pcg_sharded(mesh, S, Pinv, g, l0, 50, 1e-8)
+    ).lower(sd.S, sd.Pinv, sd.gamma, lam0)
+    txt = lowered.compile().as_text()
+    assert "all-reduce" in txt, "explicit path lost its psum all-reduces"
+    assert "collective-permute" in txt, "explicit path lost its ppermute halos"
+
+    # GSPMD path: sharded inputs into the plain solver; the partitioner
+    # must insert the same collectives rather than gathering to one device
+    sh_b = NamedSharding(mesh, P("knots", None, None))
+    sh_v = NamedSharding(mesh, P("knots", None))
+    S_sh = jax.tree.map(lambda a: jax.device_put(a, sh_b), sd.S)
+    Pinv_sh = jax.tree.map(lambda a: jax.device_put(a, sh_b), sd.Pinv)
+    g_sh = jax.device_put(sd.gamma, sh_v)
+    l0_sh = jax.device_put(lam0, sh_v)
+    lowered = jax.jit(
+        lambda S, Pinv, g, l0: pcg(S, Pinv, g, l0, max_iter=50,
+                                   exit_tol=1e-8).lam
+    ).lower(S_sh, Pinv_sh, g_sh, l0_sh)
+    txt = lowered.compile().as_text()
+    assert "all-reduce" in txt, "GSPMD partitioning lost the dot all-reduces"
+    assert ("collective-permute" in txt or "all-to-all" in txt), \
+        "GSPMD partitioning lost the halo exchange"
+
+
 def test_sharded_sqp_solve_runs(mesh, iiwa, traj_0_0):
     from mpcgpu_tpu.config import SolverConfig
     from mpcgpu_tpu.parallel.sharded import sharded_sqp_solve
