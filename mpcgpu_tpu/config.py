@@ -92,6 +92,12 @@ class SolverConfig:
     # Use the fused Pallas stage kernels (lane-batched dynamics) inside the
     # SQP loop instead of the portable vmapped XLA implementations.
     pallas_stages: bool = False
+    # With pallas_stages and the exact "bcr" linsys, fuse the WHOLE SQP
+    # iteration (KKT+Schur -> BCR -> dz -> line search -> rho update) into
+    # one Pallas dispatch (ops/pallas/sqp_megakernel.py); applies for
+    # power-of-2 N <= 128.  Off -> the three-kernel staged path.  Default
+    # off until hardware-verified (scripts/tpu_kernel_regression.py).
+    megakernel: bool = False
 
     @property
     def jax_dtype(self):

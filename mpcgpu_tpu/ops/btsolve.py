@@ -31,13 +31,26 @@ def _spd_inv(mats):
     return spd_inverse(mats)
 
 
-def bcr_solve(S: BlockTri, gamma: jnp.ndarray) -> jnp.ndarray:
+def bcr_solve(S: BlockTri, gamma: jnp.ndarray, refine: int = 1) -> jnp.ndarray:
     """Solve S lam = gamma exactly; N (block count) must be a power of 2.
 
     S.lower[k] multiplies lam_{k-1} (lower[0] unused/zero), S.upper[k]
     multiplies lam_{k+1} (upper[N-1] unused/zero) -- the BlockTri
     convention of ops/btridiag.py.
+
+    refine: iterative-refinement passes (residual re-solves).  f32 cyclic
+    reduction compounds rounding through log2(N) levels; one pass restores
+    near-eps residuals on the ill-conditioned long-horizon systems.
     """
+    lam = _bcr_once(S, gamma)
+    for _ in range(refine):
+        from mpcgpu_tpu.ops.btridiag import spmv
+
+        lam = lam + _bcr_once(S, gamma - spmv(S, lam))
+    return lam
+
+
+def _bcr_once(S: BlockTri, gamma: jnp.ndarray) -> jnp.ndarray:
     n = gamma.shape[0]
     assert n & (n - 1) == 0, f"bcr_solve needs power-of-2 block count, got {n}"
 

@@ -104,11 +104,27 @@ def _bcr_lanes(D, L, U, g):
     return lam
 
 
+def _bcr_refined(D, L, U, g):
+    """Exact solve + one iterative-refinement pass.
+
+    Plain f32 cyclic reduction compounds rounding through log2(N)
+    elimination levels; on the ill-conditioned long-horizon Schur systems
+    (cond ~ 1/rho and up) the solution noise reaches ~1e-2 relative by
+    N = 64 (results/kernel_regression_tpu.json, round 2).  One residual
+    re-solve r = g - S lam, lam += BCR(r) restores near-f32-eps residuals
+    for 2x the (tiny) solve cost."""
+    from mpcgpu_tpu.ops.pallas.pcg_kernel import _band_spmv
+
+    lam = _bcr_lanes(D, L, U, g)
+    r = g - _band_spmv(L, D, U, lam)
+    return lam + _bcr_lanes(D, L, U, r)
+
+
 def _bcr_dz_kernel(s: int, nu: int,
                    sl_ref, sd_ref, su_ref, gamma_ref,
                    a_ref, b_ref, qg_ref, rg_ref, qinv_ref, rinv_ref,
                    lam_out_ref, dx_out_ref, du_out_ref):
-    lam = _bcr_lanes(sd_ref[:], sl_ref[:], su_ref[:], gamma_ref[:])
+    lam = _bcr_refined(sd_ref[:], sl_ref[:], su_ref[:], gamma_ref[:])
     lam_out_ref[:] = lam
 
     # primal recovery, identical math to pcg_kernel._pcg_dz_kernel

@@ -171,6 +171,12 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
     use_fused_stages = cfg.pallas_stages and (
         cfg.knot_points <= 128 or cfg.knot_points % 128 == 0
     )
+    # whole-iteration megakernel: exact BCR solve fused with everything else
+    n_ = cfg.knot_points
+    use_megakernel = (
+        cfg.megakernel and use_fused_stages and linsys == "bcr"
+        and n_ <= 128 and (n_ & (n_ - 1)) == 0
+    )
 
     if cfg.pallas_stages:
         from mpcgpu_tpu.ops.pallas.merit_kernel import line_search_merits_pallas
@@ -244,12 +250,27 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
                 cfg.pcg.preconditioned and linsys != "bcr",
             )
             if linsys == "bcr":
-                # exact block-cyclic-reduction kernel (no preconditioner
+                # exact block-cyclic-reduction solve (no preconditioner
                 # formation, no warm start, no exit-tolerance tuning)
-                from mpcgpu_tpu.ops.pallas.bcr_kernel import (
-                    bcr_dz_pallas_lanes)
+                if cfg.knot_points <= 128:
+                    from mpcgpu_tpu.ops.pallas.bcr_kernel import (
+                        bcr_dz_pallas_lanes)
 
-                lam_l, dX, dU, pcg_it, hit_max = bcr_dz_pallas_lanes(ls)
+                    lam_l, dX, dU, pcg_it, hit_max = bcr_dz_pallas_lanes(ls)
+                else:
+                    # multi-tile lane widths are outside the monolithic
+                    # kernel's verified envelope (see CLAUDE.md); run the
+                    # portable XLA BCR on the fused-formed system instead
+                    from mpcgpu_tpu.ops.btridiag import BlockTri
+                    from mpcgpu_tpu.ops.btsolve import bcr_solve
+                    from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
+                        compute_dz_lanes)
+
+                    l2k = lambda a: jnp.transpose(a, (2, 0, 1))
+                    S = BlockTri(l2k(ls.SL), l2k(ls.SD), l2k(ls.SU))
+                    lam_l = bcr_solve(S, ls.gamma.T).T
+                    dX, dU = compute_dz_lanes(ls, lam_l)
+                    pcg_it, hit_max = jnp.int32(0), jnp.bool_(False)
             else:
                 lam_l, dX, dU, pcg_it, hit_max = pcg_dz_pallas_lanes(
                     ls, st.lam.T, cfg.pcg.max_iter, pcg_exit_tol,
@@ -265,6 +286,27 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
         lam_new, pcg_it, hit_max = solve_fn(cfg, schur, st.lam, pcg_exit_tol)
         dX, dU = compute_dz(kkt, schur, lam_new)
         return lam_new, pcg_it, hit_max, dX, dU
+
+    def body_mega(st: _LoopState) -> _LoopState:
+        from mpcgpu_tpu.ops.pallas.sqp_megakernel import sqp_iter_mega
+
+        nu = cfg.nu
+        Ul = jnp.concatenate([st.U, jnp.zeros((1, nu), st.U.dtype)]).T
+        Xn_l, Un_l, lam_l, rho, drho, merit_new, accept, bail = sqp_iter_mega(
+            model, st.X.T, Ul, goals[:, :3].T, xs, st.rho, st.drho, st.merit,
+            cfg.timestep, cfg.cost.qd_cost, cfg.cost.r_cost,
+            cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
+            cfg.merit_mu, cfg.num_alphas, cfg.rho_factor, cfg.rho_min,
+            cfg.rho_max, cfg.rho_reset,
+        )
+        return _LoopState(
+            X=Xn_l.T, U=Un_l.T[:-1], lam=lam_l.T, rho=rho, drho=drho,
+            merit=merit_new, it=st.it + 1, done=bail,
+            rho_bailed=jnp.logical_or(st.rho_bailed, bail),
+            pcg_iters=st.pcg_iters.at[st.it].set(0),
+            pcg_hit_max=st.pcg_hit_max.at[st.it].set(False),
+            accepted=st.accepted.at[st.it].set(accept),
+        )
 
     def body(st: _LoopState) -> _LoopState:
         lam_new, pcg_it, hit_max, dX, dU = linearize_and_solve(st)
@@ -308,7 +350,7 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
         pcg_hit_max=jnp.zeros((n_iter,), bool),
         accepted=jnp.zeros((n_iter,), bool),
     )
-    st = jax.lax.while_loop(cond, body, init)
+    st = jax.lax.while_loop(cond, body_mega if use_megakernel else body, init)
 
     stats = SQPStats(
         pcg_iters=st.pcg_iters, pcg_hit_max=st.pcg_hit_max,

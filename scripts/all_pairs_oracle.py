@@ -60,6 +60,10 @@ def main():
 
     results = {"knots": n, "max_timesteps": args.max_timesteps,
                "pcg_exit_tol": tol, "sqp_max_iter": cfg.sqp_max_iter,
+               "eepos_provenance": "0_0 is reference-recorded; all other "
+               "pairs' goal traces are synthesized from the recorded states "
+               "via this repo's FK (see utils/trajfiles.py) -- "
+               "cross-implementation claims anchor to 0_0",
                "rows": {}}
     out = REPO / "results" / "round2" / "all_pairs_oracle.json"
     out.parent.mkdir(parents=True, exist_ok=True)

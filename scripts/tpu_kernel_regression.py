@@ -96,6 +96,9 @@ def check_pcg_dz(ls, sch, kkt, lam0, results, n):
 
 
 def check_bcr_dz(ls, sch, kkt, results, n):
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.ops.btridiag import spmv
     from mpcgpu_tpu.ops.btsolve import bcr_solve
     from mpcgpu_tpu.ops.dz import compute_dz
     from mpcgpu_tpu.ops.pallas.bcr_kernel import bcr_dz_pallas_lanes
@@ -103,12 +106,21 @@ def check_bcr_dz(ls, sch, kkt, results, n):
     lam_l, dX, dU, _, _ = bcr_dz_pallas_lanes(ls, interpret=False)
     lam_ref = bcr_solve(sch.S, sch.gamma)
     dX_ref, dU_ref = compute_dz(kkt, sch, lam_ref)
+
+    # solution-difference metrics are amplified by cond(S) at long
+    # horizons; the correctness gate for an exact solver is the RESIDUAL
+    def rel_res(lam):
+        r = np.asarray(spmv(sch.S, jnp.asarray(lam))) - np.asarray(sch.gamma)
+        return float(np.linalg.norm(r) / np.linalg.norm(np.asarray(sch.gamma)))
+
     errs = {
-        "lam": _relerr(np.asarray(lam_l).T, lam_ref),
-        "dx": _relerr(dX, dX_ref),
-        "du": _relerr(dU, dU_ref),
+        "res_fused": rel_res(np.asarray(lam_l).T),
+        "res_portable": rel_res(np.asarray(lam_ref)),
+        "lam_vs_portable": _relerr(np.asarray(lam_l).T, lam_ref),
+        "dx_vs_portable": _relerr(dX, dX_ref),
+        "du_vs_portable": _relerr(dU, dU_ref),
     }
-    ok = all(e < 1e-3 for e in errs.values())
+    ok = errs["res_fused"] < max(10.0 * errs["res_portable"], 1e-4)
     results[f"bcr_dz_n{n}"] = {"ok": ok, **errs}
     return ok
 
@@ -133,6 +145,39 @@ def check_merit(model, X, U, goals, xs, results, n):
                        / np.maximum(np.abs(np.asarray(want)), 1e-6)))
     ok = rel < 2e-3
     results[f"merit_n{n}"] = {"ok": ok, "rel_err": rel}
+    return ok
+
+
+def check_megakernel(model, X, U, lam, goals, xs, results, n):
+    """End-to-end: the whole-iteration megakernel (one Pallas dispatch per
+    SQP iteration) must track the staged bcr path over a 2-iteration solve."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.sqp import sqp_solve
+
+    base = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=2),
+                               pallas_stages=True)
+    rho = jnp.asarray(1e-3, jnp.float32)
+    tol = jnp.asarray(1e-6, jnp.float32)
+    rm = sqp_solve(model, dataclasses.replace(base, megakernel=True),
+                   X, U, lam, goals, xs, rho, tol, "bcr")
+    rs = sqp_solve(model, dataclasses.replace(base, megakernel=False),
+                   X, U, lam, goals, xs, rho, tol, "bcr")
+    errs = {
+        "x": _relerr(rm.X, rs.X),
+        "u": _relerr(rm.U, rs.U),
+        "merit": abs(float(rm.stats.final_merit) - float(rs.stats.final_merit))
+        / max(abs(float(rs.stats.final_merit)), 1e-9),
+        "accept_match": bool(
+            (np.asarray(rm.stats.accepted) == np.asarray(rs.stats.accepted))
+            .all()),
+    }
+    ok = (errs["x"] < 1e-2 and errs["u"] < 1e-2 and errs["merit"] < 1e-2
+          and errs["accept_match"])
+    results[f"megakernel_n{n}"] = {"ok": ok, **errs}
     return ok
 
 
@@ -196,12 +241,18 @@ def main():
                 all_ok = False
                 ls = None
         if ls is not None:
-            for name, fn in (
+            checks = [
                 ("pcg_dz", lambda: check_pcg_dz(ls, sch, kkt, lam, results, n)),
                 ("bcr_dz", lambda: check_bcr_dz(ls, sch, kkt, results, n)),
                 ("merit", lambda: check_merit(model, X, U, goals, xs,
                                               results, n)),
-            ):
+            ]
+            if n <= 128 and (n & (n - 1)) == 0:
+                checks.append(
+                    ("megakernel",
+                     lambda: check_megakernel(model, X, U, lam, goals, xs,
+                                              results, n)))
+            for name, fn in checks:
                 try:
                     all_ok &= fn()
                 except Exception:
@@ -211,7 +262,7 @@ def main():
         print(f"N={n}: {time.time() - t0:.1f}s "
               f"{'OK' if all_ok else 'FAILURES (see json)'}")
         for key in (f"kkt_schur_n{n}", f"pcg_dz_n{n}", f"bcr_dz_n{n}",
-                    f"merit_n{n}"):
+                    f"merit_n{n}", f"megakernel_n{n}"):
             if key in results:
                 print(f"  {key}: {results[key]}")
         # checkpoint partial results so mid-run failures are inspectable
