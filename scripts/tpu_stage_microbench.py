@@ -134,10 +134,10 @@ def main():
     from mpcgpu_tpu.config import PCGConfig, SolverConfig
     import dataclasses
 
-    def solve_time(sqp_iters, reps=24):
+    def solve_time(sqp_iters, linsys="pcg", mega=False, reps=24):
         cfg = dataclasses.replace(
             SolverConfig.for_knots(n, sqp_max_iter=sqp_iters),
-            pallas_stages=True)
+            pallas_stages=True, megakernel=mega)
 
         @partial(jax.jit, static_argnames=())
         def run(Xc):
@@ -150,7 +150,8 @@ def main():
 
         def _solve(Xc, scale):
             res = sqp_solve(model, cfg, Xc * (1.0 + 1e-9 * scale), U, lam,
-                            goals, xs, rho, jnp.asarray(1e-5, jnp.float32))
+                            goals, xs, rho, jnp.asarray(1e-5, jnp.float32),
+                            linsys)
             return res.stats.final_merit
 
         out = run(X); np.asarray(out)
@@ -158,14 +159,57 @@ def main():
         out = run(X); np.asarray(out)
         return (time.perf_counter() - t0) * 1e6 / reps
 
-    t2 = solve_time(2)
-    t6 = solve_time(6)
-    marginal = (t6 - t2) / 4
-    results[f"sqp_solve_2it_n{n}_us"] = round(t2, 1)
-    results[f"sqp_solve_6it_n{n}_us"] = round(t6, 1)
-    results[f"sqp_marginal_iter_n{n}_us"] = round(marginal, 2)
-    print(f"solve 2it {t2:.0f} us, 6it {t6:.0f} us -> "
-          f"marginal SQP iteration {marginal:.1f} us")
+    for linsys, mega in (("pcg", False), ("bcr", False), ("bcr", True)):
+        try:
+            t2 = solve_time(2, linsys, mega)
+            t6 = solve_time(6, linsys, mega)
+        except Exception as e:
+            results[f"sqp_{linsys}{'_mega' if mega else ''}_error"] = repr(e)[:200]
+            continue
+        marginal = (t6 - t2) / 4
+        tag = f"{linsys}{'_mega' if mega else ''}"
+        results[f"sqp_solve_2it_{tag}_n{n}_us"] = round(t2, 1)
+        results[f"sqp_solve_6it_{tag}_n{n}_us"] = round(t6, 1)
+        results[f"sqp_marginal_iter_{tag}_n{n}_us"] = round(marginal, 2)
+        print(f"[{tag}] solve 2it {t2:.0f} us, 6it {t6:.0f} us -> "
+              f"marginal SQP iteration {marginal:.1f} us")
+
+    # --- closed-loop base decomposition: the non-SQP per-update cost
+    # (rollout + shift + bookkeeping) = t(1 iter) - marginal ---
+    from mpcgpu_tpu.sim import simulate_mpc_scan
+    from mpcgpu_tpu.utils.trajfiles import load_fixture_pair
+
+    xu_full, ee_full = load_fixture_pair(REPO / "tests" / "fixtures", 0, 0)
+    xu_j = jnp.asarray(xu_full); ee_j = jnp.asarray(ee_full)
+
+    def loop_time(sqp_iters, linsys="bcr", mega=False, n_updates=128):
+        cfg = dataclasses.replace(
+            SolverConfig.for_knots(n, sqp_max_iter=sqp_iters),
+            pallas_stages=True, megakernel=mega)
+        o = simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam, rho,
+                              1e-5, n_updates, linsys)
+        np.asarray(o["tracking_errors"])
+        t0 = time.perf_counter()
+        o = simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam, rho,
+                              1e-5, n_updates, linsys)
+        np.asarray(o["tracking_errors"])
+        return (time.perf_counter() - t0) * 1e6 / n_updates
+
+    for linsys, mega in (("bcr", False), ("bcr", True)):
+        try:
+            t1 = loop_time(1, linsys, mega)
+            t4 = loop_time(4, linsys, mega)
+        except Exception as e:
+            results[f"loop_{linsys}{'_mega' if mega else ''}_error"] = repr(e)[:200]
+            continue
+        tag = f"{linsys}{'_mega' if mega else ''}"
+        marg = (t4 - t1) / 3
+        results[f"loop_1it_{tag}_n{n}_us"] = round(t1, 1)
+        results[f"loop_4it_{tag}_n{n}_us"] = round(t4, 1)
+        results[f"loop_marginal_{tag}_n{n}_us"] = round(marg, 2)
+        results[f"loop_base_{tag}_n{n}_us"] = round(t1 - marg, 1)
+        print(f"[loop {tag}] 1it {t1:.0f} us, 4it {t4:.0f} us -> marginal "
+              f"{marg:.1f} us, base {t1 - marg:.0f} us")
 
     out = Path(args.out) if args.out else (
         REPO / "results" / f"stage_microbench_n{n}.json")

@@ -1,0 +1,45 @@
+"""Whole-iteration megakernel vs the staged fused path.
+
+The megakernel (ops/pallas/sqp_megakernel.py) fuses KKT+Schur, the exact
+BCR dual solve, primal recovery, the 8-alpha line search, and the
+Levenberg rho update (reference include/pcg/sqp.cuh:203-423) into one
+Pallas dispatch; it must reproduce the staged path's iterates exactly
+(same arithmetic, same acceptance decisions).  Interpreter mode is slow,
+so this runs one tiny configuration; hardware parity across N is gated
+by scripts/tpu_kernel_regression.py (check_megakernel).
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from mpcgpu_tpu.config import SolverConfig
+from mpcgpu_tpu.sqp import sqp_solve
+
+
+def test_megakernel_matches_staged(iiwa, traj_0_0):
+    xu, ee = traj_0_0
+    n = 4
+    base = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=2),
+                               pallas_stages=True)
+    X = jnp.asarray(xu[:n, :14])
+    U = jnp.asarray(xu[: n - 1, 14:])
+    goals = jnp.asarray(ee[:n])
+    xs = X[0]
+    lam = jnp.zeros((n, 14), jnp.float32)
+    rho = jnp.asarray(1e-3, jnp.float32)
+
+    rm = sqp_solve(iiwa, dataclasses.replace(base, megakernel=True),
+                   X, U, lam, goals, xs, rho, 1e-6, "bcr")
+    rs = sqp_solve(iiwa, dataclasses.replace(base, megakernel=False),
+                   X, U, lam, goals, xs, rho, 1e-6, "bcr")
+
+    np.testing.assert_allclose(np.asarray(rm.X), np.asarray(rs.X),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rm.U), np.asarray(rs.U),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rm.lam), np.asarray(rs.lam),
+                               rtol=1e-4, atol=1e-5)
+    assert (np.asarray(rm.stats.accepted) == np.asarray(rs.stats.accepted)).all()
+    np.testing.assert_allclose(float(rm.stats.final_merit),
+                               float(rs.stats.final_merit), rtol=1e-5)
