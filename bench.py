@@ -2,7 +2,7 @@
 """Headline benchmark: device-resident closed-loop MPC at N=64 on one chip.
 
 Runs the reference's flagship configuration -- IIWA-14 figure-eight
-tracking with the full SQP-PCG solver in the loop at N=64 knots
+tracking with the full SQP solver in the loop at N=64 knots
 (reference examples/track_iiwa_pcg.cu + include/mpcsim.cuh) -- as ONE
 XLA program (lax.scan over control updates, everything device-resident)
 and reports the per-control-update latency.  The reference must fit each
@@ -11,10 +11,20 @@ update into a 2000 us real-time budget at 500 Hz
 that budget divided by our per-update latency (>1 = faster than
 real-time).
 
+Default configuration: fused stage kernels with the warm-started PCG
+kernel at the reference-tuned per-N exit tolerance -- the configuration
+with hardware-verified long-run tracking parity.  --linsys bcr /
+bcr_pcg select the exact cyclic-reduction solve and its CG hybrid
+(faster per update, but f32 CR is not backward stable on these
+cond~1e7 systems and slowly biases long closed-loop runs; see
+RESULTS.md).
+
 Prints ONE JSON line.
 """
 from __future__ import annotations
 
+import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -24,37 +34,52 @@ import numpy as np
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--updates", type=int, default=256)
+    ap.add_argument("--linsys", default="pcg",
+                    choices=["pcg", "bcr", "bcr_pcg", "pcg_pallas", "dense",
+                             "qdldl"])
+    ap.add_argument("--no-megakernel", action="store_true")
+    ap.add_argument("--sqp-max-iter", type=int, default=4)
+    ap.add_argument("--pcg-max-iter", type=int, default=None)
+    ap.add_argument("--pcg-exit-tol", type=float, default=None)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
-    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.config import SolverConfig, default_pcg_exit_tols
     from mpcgpu_tpu.models.robot import iiwa14
-    from mpcgpu_tpu.ops.pallas import pcg_kernel  # noqa: F401 (registers backend)
     from mpcgpu_tpu.sim import simulate_mpc_scan
     from mpcgpu_tpu.sqp import sqp_solve
     from mpcgpu_tpu.utils.trajfiles import load_fixture_pair, horizon_slices
 
-    n = 64
+    n = args.n
     budget_us = 2000.0
-    n_updates = 256          # ~0.5 s of tracking at 500 Hz
-    linsys = "pcg"           # fused stages carry their own PCG kernel
+    n_updates = args.updates     # ~0.5 s of tracking at 500 Hz
+    linsys = args.linsys
 
     fixtures = Path(__file__).resolve().parent / "tests" / "fixtures"
     xu, ee = load_fixture_pair(fixtures, 0, 0)
     model = iiwa14()
-    import dataclasses
 
     cfg = dataclasses.replace(
-        SolverConfig.for_knots(n, sqp_max_iter=4),
-        pallas_stages=True,   # fused lane-batched stage kernels
+        SolverConfig.for_knots(n, sqp_max_iter=args.sqp_max_iter),
+        pallas_stages=True,      # fused lane-batched stage kernels
+        megakernel=not args.no_megakernel,
     )
+    if args.pcg_max_iter is not None:
+        cfg = dataclasses.replace(
+            cfg, pcg=dataclasses.replace(cfg.pcg, max_iter=args.pcg_max_iter))
 
     X, U, goals, xs = horizon_slices(xu, ee, n)
     X = jnp.asarray(X); U = jnp.asarray(U)
     xu_j = jnp.asarray(xu); ee_j = jnp.asarray(ee)
     lam = jnp.zeros((n, 14), jnp.float32)
     rho = jnp.asarray(1e-3, jnp.float32)
-    tol = 5e-5               # reference N=64 tuned tolerance
+    tol = (args.pcg_exit_tol if args.pcg_exit_tol is not None
+           else default_pcg_exit_tols(n)[0])  # reference-tuned per-N tol
 
     # warm-up: a few chained solves to warm-start lam (REMOVE_JITTERS)
     res = sqp_solve(model, cfg, X, U, lam, jnp.asarray(ee[:n]), jnp.asarray(xs),
@@ -89,6 +114,7 @@ def main() -> int:
                 "detail": {
                     "device": str(jax.devices()[0]),
                     "linsys": linsys,
+                    "megakernel": cfg.megakernel,
                     "n_updates": n_updates,
                     "wall_us_total": round(wall_us, 0),
                     "avg_tracking_error_m": round(float(te.mean()), 4),

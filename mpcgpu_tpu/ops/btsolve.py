@@ -114,16 +114,61 @@ def _bcr_once(S: BlockTri, gamma: jnp.ndarray) -> jnp.ndarray:
 
 def _solve_linsys_bcr(cfg, schur, lam, pcg_exit_tol):
     """Linsys-backend adapter: exact solve, so the iteration count is 0
-    and the max-iter exit flag is always False."""
+    and the max-iter exit flag is always False.
+
+    Caveat (measured, round 2): f32 cyclic reduction is not backward
+    stable on the cond~1e7 long-horizon Schur systems; its solution noise
+    sits in S's near-null modes and slowly biases the closed loop.  Use
+    the "bcr_pcg" hybrid for production tracking; this exact mode remains
+    for linear-solve studies and as the hybrid's building block."""
     del lam, pcg_exit_tol  # exact and warm-start-free
     lam_new = bcr_solve(schur.S, schur.gamma)
     return lam_new, jnp.int32(0), jnp.bool_(False)
+
+
+def _solve_linsys_bcr_pcg(cfg, schur, lam, pcg_exit_tol):
+    """Warm-started CG with the BCR solve as preconditioner.
+
+    Backward-stable like plain PCG (the warm-started Krylov iterates
+    never excite S's near-null modes) but converges in a handful of
+    iterations thanks to the near-exact preconditioner -- the portable
+    twin of ops/pallas/bcr_kernel._pcg_loop_bcrM."""
+    from mpcgpu_tpu.ops.btridiag import spmv
+
+    S, gamma = schur.S, schur.gamma
+    tol = pcg_exit_tol
+
+    r0 = gamma - spmv(S, lam)
+    z0 = bcr_solve(S, r0, refine=0)
+    eta0 = jnp.sum(r0 * z0)
+    max_iter = min(int(cfg.pcg.max_iter), 16)
+
+    def cond(c):
+        _, _, _, eta, i = c
+        return jnp.logical_and(i < max_iter, jnp.abs(eta) > tol)
+
+    def body(c):
+        lam, r, p, eta, i = c
+        up = spmv(S, p)
+        alpha = eta / jnp.sum(p * up)
+        lam = lam + alpha * p
+        r = r - alpha * up
+        z = bcr_solve(S, r, refine=0)
+        eta_new = jnp.sum(r * z)
+        p = z + (eta_new / eta) * p
+        return lam, r, p, eta_new, i + 1
+
+    lam1, _, _, eta, iters = jax.lax.while_loop(
+        cond, body, (lam, r0, z0, eta0, jnp.int32(0))
+    )
+    return lam1, iters, jnp.abs(eta) > tol
 
 
 def register_backend():
     from mpcgpu_tpu.sqp import register_linsys_backend
 
     register_linsys_backend("bcr", _solve_linsys_bcr)
+    register_linsys_backend("bcr_pcg", _solve_linsys_bcr_pcg)
 
 
 register_backend()

@@ -120,6 +120,46 @@ def _bcr_refined(D, L, U, g):
     return lam + _bcr_lanes(D, L, U, r)
 
 
+def _pcg_loop_bcrM(D, L, U, g, lam0, max_iter, tol):
+    """Warm-started CG with the cyclic-reduction solve as preconditioner.
+
+    Why not BCR alone: f32 cyclic reduction is not backward stable on
+    these cond~1e7 Schur systems -- its solution noise concentrates in
+    S's near-null (long-horizon) modes, which the eta = r'M^-1 r exit
+    metric barely weights, and the closed loop drifts (round-2 notes).
+    CG from the warm-started dual never excites those modes; with the
+    near-exact BCR preconditioner it converges in a handful of
+    iterations, so this costs a few BCR applies instead of the stair
+    preconditioner's ~130 CG iterations.
+
+    Returns (lam, iters, eta)."""
+    from mpcgpu_tpu.ops.pallas.pcg_kernel import _band_spmv
+
+    r0 = g - _band_spmv(L, D, U, lam0)
+    z0 = _bcr_lanes(D, L, U, r0)
+    eta0 = jnp.sum(r0 * z0)
+
+    def cond(carry):
+        _, _, _, eta, i = carry
+        return jnp.logical_and(i < max_iter, jnp.abs(eta) > tol)
+
+    def body(carry):
+        lam, r, p, eta, i = carry
+        up = _band_spmv(L, D, U, p)
+        alpha = eta / jnp.sum(p * up)
+        lam = lam + alpha * p
+        r = r - alpha * up
+        z = _bcr_lanes(D, L, U, r)
+        eta_new = jnp.sum(r * z)
+        p = z + (eta_new / eta) * p
+        return lam, r, p, eta_new, i + 1
+
+    lam, r, p, eta, iters = jax.lax.while_loop(
+        cond, body, (lam0, r0, z0, eta0, jnp.int32(0))
+    )
+    return lam, iters, eta
+
+
 def _bcr_dz_kernel(s: int, nu: int,
                    sl_ref, sd_ref, su_ref, gamma_ref,
                    a_ref, b_ref, qg_ref, rg_ref, qinv_ref, rinv_ref,
@@ -140,6 +180,67 @@ def _bcr_dz_kernel(s: int, nu: int,
     dx_out_ref[:] = -ld.lane_matvec(qinv_ref[:], rhs_x)
     Bt_lam = ld.lane_matvec_T(B, lam_next)
     du_out_ref[:] = -ld.lane_matvec(rinv_ref[:], rg_ref[:] + Bt_lam)
+
+
+def _bcr_pcg_dz_kernel(s: int, nu: int, max_iter_ref, tol_ref,
+                       sl_ref, sd_ref, su_ref, gamma_ref, lam0_ref,
+                       a_ref, b_ref, qg_ref, rg_ref, qinv_ref, rinv_ref,
+                       lam_out_ref, dx_out_ref, du_out_ref,
+                       iters_ref, hit_ref):
+    lam, iters, eta = _pcg_loop_bcrM(
+        sd_ref[:], sl_ref[:], su_ref[:], gamma_ref[:], lam0_ref[:],
+        max_iter_ref[0], tol_ref[0])
+    lam_out_ref[:] = lam
+    iters_ref[0] = iters
+    hit_ref[0] = (jnp.abs(eta) > tol_ref[0]).astype(jnp.int32)
+
+    n = lam.shape[1]
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    m_last = (k < n - 1).astype(lam.dtype)
+    lam_next = pltpu.roll(lam, n - 1, axis=1) * m_last
+    A = a_ref[:]
+    B = b_ref[:]
+    At_lam = ld.lane_matvec_T(A, lam_next) * m_last
+    dx_out_ref[:] = -ld.lane_matvec(qinv_ref[:], qg_ref[:] - lam + At_lam)
+    Bt_lam = ld.lane_matvec_T(B, lam_next)
+    du_out_ref[:] = -ld.lane_matvec(rinv_ref[:], rg_ref[:] + Bt_lam)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bcr_pcg_dz_pallas_lanes(ls, lam0_l, max_iter, exit_tol,
+                            interpret: bool = None):
+    """Warm-started BCR-preconditioned CG + primal recovery, one kernel.
+
+    Drop-in for pcg_dz_pallas_lanes; needs no stair preconditioner (ls
+    may be formed with precond=False).  Returns
+    (lam (s,N), dX (N,s), dU (N-1,nu), iters, hit_max)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, n = ls.gamma.shape
+    nu = ls.Rinv.shape[0]
+    f32 = ls.gamma.dtype
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    lam_t, dx_t, du_t, iters, hit = pl.pallas_call(
+        functools.partial(_bcr_pcg_dz_kernel, s, nu),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, n), f32),
+            jax.ShapeDtypeStruct((s, n), f32),
+            jax.ShapeDtypeStruct((nu, n), f32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=[smem, smem] + [vmem] * 11,
+        out_specs=(vmem, vmem, vmem, smem, smem),
+        interpret=interpret,
+    )(
+        jnp.asarray(max_iter, jnp.int32).reshape(1),
+        jnp.asarray(exit_tol, f32).reshape(1),
+        ls.SL, ls.SD, ls.SU, ls.gamma, lam0_l,
+        ls.A, ls.B, ls.q, ls.r, ls.Qinv, ls.Rinv,
+    )
+    return (lam_t, dx_t.T, du_t.T[:-1], iters[0],
+            jnp.asarray(hit[0] != 0))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -51,17 +51,12 @@ def _band_spmv(L, D, U, x):
     return acc
 
 
-def _pcg_kernel(s: int, max_iter_ref, tol_ref,
-                sl_ref, sd_ref, su_ref, pl_ref, pd_ref, pu_ref,
-                gamma_ref, lam0_ref,
-                lam_out_ref, iters_ref, hit_ref):
-    SL, SD, SU = sl_ref[:], sd_ref[:], su_ref[:]
-    PL, PD, PU = pl_ref[:], pd_ref[:], pu_ref[:]
-    gamma = gamma_ref[:]
-    lam0 = lam0_ref[:]
-    max_iter = max_iter_ref[0]
-    tol = tol_ref[0]
+def _pcg_loop(SL, SD, SU, PL, PD, PU, gamma, lam0, max_iter, tol):
+    """The CG loop itself, callable from any kernel that has the banded
+    system + preconditioner in registers/VMEM (the PCG kernel below and
+    the whole-iteration megakernel's polish stage).
 
+    Returns (lam, iters, eta)."""
     r0 = gamma - _band_spmv(SL, SD, SU, lam0)
     rt0 = _band_spmv(PL, PD, PU, r0)
     eta0 = jnp.sum(r0 * rt0)
@@ -84,9 +79,19 @@ def _pcg_kernel(s: int, max_iter_ref, tol_ref,
     lam, r, p, eta, iters = jax.lax.while_loop(
         cond, body, (lam0, r0, rt0, eta0, jnp.int32(0))
     )
+    return lam, iters, eta
+
+
+def _pcg_kernel(s: int, max_iter_ref, tol_ref,
+                sl_ref, sd_ref, su_ref, pl_ref, pd_ref, pu_ref,
+                gamma_ref, lam0_ref,
+                lam_out_ref, iters_ref, hit_ref):
+    lam, iters, eta = _pcg_loop(
+        sl_ref[:], sd_ref[:], su_ref[:], pl_ref[:], pd_ref[:], pu_ref[:],
+        gamma_ref[:], lam0_ref[:], max_iter_ref[0], tol_ref[0])
     lam_out_ref[:] = lam
     iters_ref[0] = iters
-    hit_ref[0] = (jnp.abs(eta) > tol).astype(jnp.int32)
+    hit_ref[0] = (jnp.abs(eta) > tol_ref[0]).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -111,6 +111,7 @@ _LAZY_BACKEND_MODULES = {
     "pcg_pallas": "mpcgpu_tpu.ops.pallas.pcg_kernel",
     "qdldl": "mpcgpu_tpu.linsys.qdldl_host",
     "bcr": "mpcgpu_tpu.ops.btsolve",
+    "bcr_pcg": "mpcgpu_tpu.ops.btsolve",
 }
 
 
@@ -247,20 +248,21 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
                 model, st.X, st.U, goals, xs, st.rho, cfg.timestep,
                 cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
                 cfg.gravity, cfg.cost.hessian,
-                cfg.pcg.preconditioned and linsys != "bcr",
+                cfg.pcg.preconditioned and linsys not in ("bcr", "bcr_pcg"),
             )
             if linsys == "bcr":
                 # exact block-cyclic-reduction solve (no preconditioner
                 # formation, no warm start, no exit-tolerance tuning)
-                if cfg.knot_points <= 128:
+                if cfg.knot_points <= 256:
+                    # hardware-verified through N=256
+                    # (results/kernel_regression_tpu.json); N=512 exceeds
+                    # the 16 MB scoped-VMEM limit with refinement buffers
                     from mpcgpu_tpu.ops.pallas.bcr_kernel import (
                         bcr_dz_pallas_lanes)
 
                     lam_l, dX, dU, pcg_it, hit_max = bcr_dz_pallas_lanes(ls)
                 else:
-                    # multi-tile lane widths are outside the monolithic
-                    # kernel's verified envelope (see CLAUDE.md); run the
-                    # portable XLA BCR on the fused-formed system instead
+                    # run the portable XLA BCR on the fused-formed system
                     from mpcgpu_tpu.ops.btridiag import BlockTri
                     from mpcgpu_tpu.ops.btsolve import bcr_solve
                     from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
@@ -271,6 +273,32 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
                     lam_l = bcr_solve(S, ls.gamma.T).T
                     dX, dU = compute_dz_lanes(ls, lam_l)
                     pcg_it, hit_max = jnp.int32(0), jnp.bool_(False)
+            elif linsys == "bcr_pcg":
+                # warm-started CG with the BCR solve as preconditioner
+                # (backward-stable unlike plain bcr; a handful of
+                # iterations instead of the stair preconditioner's ~130)
+                if cfg.knot_points <= 256:
+                    from mpcgpu_tpu.ops.pallas.bcr_kernel import (
+                        bcr_pcg_dz_pallas_lanes)
+
+                    lam_l, dX, dU, pcg_it, hit_max = bcr_pcg_dz_pallas_lanes(
+                        ls, st.lam.T, cfg.pcg.max_iter, pcg_exit_tol)
+                else:
+                    import types
+
+                    from mpcgpu_tpu.ops.btridiag import BlockTri
+                    from mpcgpu_tpu.ops.btsolve import _solve_linsys_bcr_pcg
+                    from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
+                        compute_dz_lanes)
+
+                    l2k = lambda a: jnp.transpose(a, (2, 0, 1))
+                    shim = types.SimpleNamespace(
+                        S=BlockTri(l2k(ls.SL), l2k(ls.SD), l2k(ls.SU)),
+                        gamma=ls.gamma.T)
+                    lam_k, pcg_it, hit_max = _solve_linsys_bcr_pcg(
+                        cfg, shim, st.lam, pcg_exit_tol)
+                    lam_l = lam_k.T
+                    dX, dU = compute_dz_lanes(ls, lam_l)
             else:
                 lam_l, dX, dU, pcg_it, hit_max = pcg_dz_pallas_lanes(
                     ls, st.lam.T, cfg.pcg.max_iter, pcg_exit_tol,
