@@ -129,10 +129,11 @@ def _solve_linsys_bcr(cfg, schur, lam, pcg_exit_tol):
 def _solve_linsys_bcr_pcg(cfg, schur, lam, pcg_exit_tol):
     """Warm-started CG with the BCR solve as preconditioner.
 
-    Backward-stable like plain PCG (the warm-started Krylov iterates
-    never excite S's near-null modes) but converges in a handful of
-    iterations thanks to the near-exact preconditioner -- the portable
-    twin of ops/pallas/bcr_kernel._pcg_loop_bcrM."""
+    Converges in a handful of iterations thanks to the near-exact
+    preconditioner; reduces but does not eliminate the BCR null-mode
+    drift (each M-apply re-injects residual-scaled noise) -- see the
+    caveat on _solve_linsys_bcr and RESULTS.md.  Portable twin of
+    ops/pallas/bcr_kernel._pcg_loop_bcrM."""
     from mpcgpu_tpu.ops.btridiag import spmv
 
     S, gamma = schur.S, schur.gamma

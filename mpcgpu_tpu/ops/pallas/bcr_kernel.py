@@ -123,14 +123,15 @@ def _bcr_refined(D, L, U, g):
 def _pcg_loop_bcrM(D, L, U, g, lam0, max_iter, tol):
     """Warm-started CG with the cyclic-reduction solve as preconditioner.
 
-    Why not BCR alone: f32 cyclic reduction is not backward stable on
-    these cond~1e7 Schur systems -- its solution noise concentrates in
-    S's near-null (long-horizon) modes, which the eta = r'M^-1 r exit
-    metric barely weights, and the closed loop drifts (round-2 notes).
-    CG from the warm-started dual never excites those modes; with the
-    near-exact BCR preconditioner it converges in a handful of
-    iterations, so this costs a few BCR applies instead of the stair
-    preconditioner's ~130 CG iterations.
+    Context: f32 cyclic reduction is not backward stable on these
+    cond~1e7 Schur systems -- its solution noise concentrates in S's
+    near-null (long-horizon) modes, which the eta = r'M^-1 r exit metric
+    barely weights, and the closed loop drifts (RESULTS.md round-2
+    analysis).  This hybrid reduces the drift ~5x vs plain BCR (the
+    noise enters only through the M-applies, scaled by the residual) but
+    measured 256-update tracking still degrades vs the stair-PCG
+    flagship -- use `pcg` where long-run tracking matters and this mode
+    for throughput studies / short horizons.
 
     Returns (lam, iters, eta)."""
     from mpcgpu_tpu.ops.pallas.pcg_kernel import _band_spmv

@@ -90,6 +90,19 @@ def main():
                 L.append(f"| {k} | {v} |")
         L.append("")
 
+    cs = load("results/round2/cap_sweep.json")
+    if cs:
+        L.append("## PCG iteration-cap retuning, N=64 "
+                 "(results/round2/cap_sweep.json)\n")
+        L.append(cs.get("note", "") + "\n")
+        L.append("| config | us/update | avg err (m) | max err (m) | "
+                 "PCG iters/update |")
+        L.append("|---|---|---|---|---|")
+        for k, r in cs.get("rows", {}).items():
+            L.append(f"| {k} | {r['us']} | {r['err']} | {r['err_max']} | "
+                     f"{r['pcg_iters']} |")
+        L.append("")
+
     if kr:
         n_ok = sum(1 for v in kr.values()
                    if isinstance(v, dict) and v.get("ok") is True)
@@ -133,6 +146,38 @@ def main():
                      f"{b.get('avg_tracking_error_m')} | "
                      f"{p.get('us_per_update')} | {b.get('us_per_update')} |")
         L.append("")
+
+    L.append("## Analysis (round 2)\n")
+    L.append(
+        "- **Solver stability vs speed.** The exact block-cyclic-reduction "
+        "solve is 13x faster per solve than tuned PCG (13.6 vs ~160 us at "
+        "N=64) and short runs (64 updates) track as well or better -- but "
+        "256-update runs drift monotonically (0.005 -> 0.44 m tracking "
+        "error). Cause, established against an f64 oracle: cond(S) ~ 2.5e7 "
+        "and f32 cyclic reduction is not backward stable (residual stalls "
+        "at ~3e-3; iterative refinement beyond one pass makes the solution "
+        "worse). Its noise lives in S's near-null long-horizon modes, "
+        "invisible to the eta exit metric; warm-started Krylov iterations "
+        "(the reference's design) never excite those modes, which is why "
+        "PCG is stable at the same nominal residual. The `bcr_pcg` "
+        "hybrid (warm CG with the BCR solve as preconditioner) cuts the "
+        "drift ~5x but does not eliminate it (0.22 m avg at 256 updates, "
+        "both at 3 and 6 fixed iterations) -- the noise re-enters through "
+        "every preconditioner apply. Flagship stays `pcg`; `bcr`/"
+        "`bcr_pcg` serve single-solve and throughput studies.")
+    L.append(
+        "- **The round-1 N=32-slower-than-N=64 inversion** is "
+        "tolerance-bound, not size-bound: the reference-tuned 5e-6 exit "
+        "tolerance drives ~233 PCG iterations/update at N=32 vs ~519 at "
+        "N=64's 5e-5 (horizon_scaling.json) -- with the exact solver the "
+        "inversion disappears.")
+    L.append(
+        "- **Closed-loop cost structure at N=64**: ~310 us/update non-SQP "
+        "base (rollout + shift + bookkeeping) + ~50-135 us per SQP "
+        "iteration depending on solver (stage_microbench_n64.json); the "
+        "whole-iteration megakernel holds the marginal iteration at 55 us "
+        "(bit-exact vs the staged path on hardware).")
+    L.append("")
 
     (REPO / "RESULTS.md").write_text("\n".join(L) + "\n")
     print(f"-> {REPO / 'RESULTS.md'}")
