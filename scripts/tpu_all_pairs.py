@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--updates", type=int, default=512)
     ap.add_argument("--linsys", nargs="*", default=["pcg", "bcr"])
     ap.add_argument("--megakernel", action="store_true")
+    ap.add_argument("--pcg-max-iter", type=int, default=40,
+                    help="TPU-retuned cap (results/round2/cap_sweep.json)")
     args = ap.parse_args()
 
     import jax
@@ -48,6 +50,8 @@ def main():
     model = iiwa14()
     cfg = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=4),
                               pallas_stages=True, megakernel=args.megakernel)
+    cfg = dataclasses.replace(
+        cfg, pcg=dataclasses.replace(cfg.pcg, max_iter=args.pcg_max_iter))
     tol = default_pcg_exit_tols(n)[0]
 
     recorded_states = 5

@@ -27,7 +27,7 @@ sys.path.insert(0, str(REPO))
 import numpy as np  # noqa: E402
 
 
-def run_config(n: int, linsys: str, n_updates: int):
+def run_config(n: int, linsys: str, n_updates: int, pcg_max_iter=None):
     import jax
     import jax.numpy as jnp
 
@@ -41,6 +41,9 @@ def run_config(n: int, linsys: str, n_updates: int):
     xu, ee = load_fixture_pair(fixtures, 0, 0)
     cfg = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=4),
                               pallas_stages=True)
+    if pcg_max_iter is not None:
+        cfg = dataclasses.replace(
+            cfg, pcg=dataclasses.replace(cfg.pcg, max_iter=pcg_max_iter))
     from mpcgpu_tpu.models.robot import iiwa14
 
     model = iiwa14()
@@ -92,6 +95,8 @@ def main():
                     default=[32, 64, 128, 256, 512])
     ap.add_argument("--updates", type=int, default=64)
     ap.add_argument("--linsys", nargs="*", default=["pcg", "bcr"])
+    ap.add_argument("--pcg-max-iter", type=int, default=None)
+    ap.add_argument("--out-name", default="horizon_scaling.json")
     args = ap.parse_args()
 
     import jax
@@ -106,13 +111,14 @@ def main():
             key = f"n{n}_{linsys}"
             t0 = time.time()
             try:
-                row = run_config(n, linsys, args.updates)
+                row = run_config(n, linsys, args.updates,
+                                 args.pcg_max_iter)
             except Exception as e:  # archive the failure, keep sweeping
                 row = {"error": repr(e)[:300]}
             results["rows"][key] = row
             print(f"{key}: {row} ({time.time() - t0:.0f}s incl. compile)",
                   flush=True)
-            out = REPO / "results" / "round2" / "horizon_scaling.json"
+            out = REPO / "results" / "round2" / args.out_name
             out.parent.mkdir(parents=True, exist_ok=True)
             out.write_text(json.dumps(results, indent=1))
 
