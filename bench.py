@@ -80,12 +80,14 @@ def main() -> int:
     rho = jnp.asarray(1e-3, jnp.float32)
     tol = (args.pcg_exit_tol if args.pcg_exit_tol is not None
            else default_pcg_exit_tols(n)[0])  # reference-tuned per-N tol
-    if args.pcg_max_iter is None and linsys == "pcg" and n == 64:
-        # TPU-retuned iteration cap: the reference's GPU-tuned 167 is ~4x
-        # too high here -- cap 40 halves latency with better tracking
-        # (results/round2/cap_sweep.json)
+    if args.pcg_max_iter is None and linsys == "pcg":
+        # TPU-retuned iteration caps: the reference's GPU-tuned values are
+        # ~4x too high here (results/round2/cap_sweep.json)
+        from mpcgpu_tpu.config import PCGConfig
+
         cfg = dataclasses.replace(
-            cfg, pcg=dataclasses.replace(cfg.pcg, max_iter=40))
+            cfg, pcg=dataclasses.replace(
+                cfg.pcg, max_iter=PCGConfig.tpu_tuned_max_iter(n)))
 
     # warm-up: a few chained solves to warm-start lam (REMOVE_JITTERS)
     res = sqp_solve(model, cfg, X, U, lam, jnp.asarray(ee[:n]), jnp.asarray(xs),

@@ -53,6 +53,16 @@ class PCGConfig:
         # reference settings.cuh:135-156 (empirical per-N caps)
         return {32: 173, 64: 167, 128: 167, 256: 118, 512: 67}.get(knot_points, 200)
 
+    @staticmethod
+    def tpu_tuned_max_iter(knot_points: int) -> int:
+        """Per-N caps retuned on TPU v5e (round 2; the reference's
+        GPU-tuned values are ~4x too high here).  Closed-loop validated:
+        parity-or-better tracking error at every N with 1.4-2x lower
+        update latency; N=512 fits the 2 ms budget only with this table
+        (results/round2/cap_sweep.json, horizon_scaling_cap40.json)."""
+        return {32: 40, 64: 40, 128: 40, 256: 40, 512: 16}.get(
+            knot_points, 40)
+
 
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:

@@ -58,8 +58,31 @@ def main():
                      f"avg SQP iters {det.get('avg_sqp_iters')}")
         L.append("")
 
+    hs40 = load("results/round2/horizon_scaling_cap40.json")
+    if hs40:
+        n512b = load("results/round2/horizon_n512_cap16.json")
+        L.append("## Horizon scaling, TPU-retuned caps "
+                 "(results/round2/horizon_scaling_cap40.json)\n")
+        L.append("| N | cap | us/update | vs 2 ms budget | avg err (m) |")
+        L.append("|---|---|---|---|---|")
+        for key, row in hs40.get("rows", {}).items():
+            if "error" in row:
+                continue
+            n_ = key.replace("n", "", 1).split("_", 1)[0]
+            us = row["us_per_update"]
+            L.append(f"| {n_} | 40 | {us} | {2000.0 / us:.2f}x | "
+                     f"{row['avg_tracking_error_m']} |")
+        if n512b:
+            row = n512b["rows"].get("n512_pcg", {})
+            if row and "error" not in row:
+                us = row["us_per_update"]
+                L.append(f"| 512 | 16 | {us} | {2000.0 / us:.2f}x | "
+                         f"{row['avg_tracking_error_m']} |")
+        L.append("")
+
     if hs:
-        L.append("## Horizon scaling (results/round2/horizon_scaling.json)\n")
+        L.append("## Horizon scaling, reference-tuned caps "
+                 "(results/round2/horizon_scaling.json)\n")
         L.append(f"Device-resident closed loop ({hs.get('n_updates')} updates,"
                  " fused stage kernels, per-N reference-tuned exit tols).\n")
         L.append("| N | solver | us/update | vs 2 ms budget | avg err (m) | "
@@ -177,6 +200,11 @@ def main():
         "iteration depending on solver (stage_microbench_n64.json); the "
         "whole-iteration megakernel holds the marginal iteration at 55 us "
         "(bit-exact vs the staged path on hardware).")
+    L.append(
+        "- **Per-N cap retuning closes the long-horizon gap**: with the "
+        "TPU-tuned caps (PCGConfig.tpu_tuned_max_iter) every swept "
+        "horizon meets the 2 ms budget, including N=512 at 1.84 ms "
+        "(cap 16, parity error 0.031 m) -- vs 6.3 ms in round 1.")
     L.append("")
 
     (REPO / "RESULTS.md").write_text("\n".join(L) + "\n")
