@@ -47,3 +47,18 @@ def traj_0_0(fixtures_dir):
     xu = np.loadtxt(fixtures_dir / "0_0_traj.csv", delimiter=",")
     ee = np.loadtxt(fixtures_dir / "0_0_eepos.traj", delimiter=",")
     return xu.astype(np.float32), ee.astype(np.float32)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    A full-suite run accumulates dozens of large interpreter-mode Pallas
+    programs; past ~50 tests the XLA CPU compiler has twice segfaulted
+    inside backend_compile_and_load on a compile that passes in
+    isolation (round-2 logs).  Dropping the jit/executable caches per
+    module keeps the process state small; cache misses re-compile, which
+    only costs time.
+    """
+    yield
+    jax.clear_caches()
