@@ -243,10 +243,16 @@ def main():
         if ls is not None:
             checks = [
                 ("pcg_dz", lambda: check_pcg_dz(ls, sch, kkt, lam, results, n)),
-                ("bcr_dz", lambda: check_bcr_dz(ls, sch, kkt, results, n)),
                 ("merit", lambda: check_merit(model, X, U, goals, xs,
                                               results, n)),
             ]
+            if n <= 256:
+                # the fused BCR kernel's production envelope (sqp.py gates
+                # N=512 to the portable solve: refinement buffers exceed
+                # the 16 MB scoped VMEM there)
+                checks.insert(1, ("bcr_dz",
+                                  lambda: check_bcr_dz(ls, sch, kkt,
+                                                       results, n)))
             if n <= 128 and (n & (n - 1)) == 0:
                 checks.append(
                     ("megakernel",
