@@ -142,7 +142,10 @@ def _solve_linsys_bcr_pcg(cfg, schur, lam, pcg_exit_tol):
     r0 = gamma - spmv(S, lam)
     z0 = bcr_solve(S, r0, refine=0)
     eta0 = jnp.sum(r0 * z0)
-    max_iter = min(int(cfg.pcg.max_iter), 16)
+    # same iteration policy as the fused twin (bcr_pcg_dz_pallas_lanes):
+    # honor the configured cap; the near-exact M converges in a handful of
+    # iterations regardless, so the cap is a safety net, not a tuning knob.
+    max_iter = int(cfg.pcg.max_iter)
 
     def cond(c):
         _, _, _, eta, i = c

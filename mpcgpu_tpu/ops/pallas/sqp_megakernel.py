@@ -8,7 +8,8 @@ one kernel so the Schur system, duals, step, and line-search candidates
 never leave VMEM:
 
   KKT linearization + Schur condensation   (kkt_schur_kernel._perknot)
-  exact block-cyclic-reduction dual solve  (bcr_kernel._bcr_lanes)
+  dual solve: exact block cyclic reduction (bcr_kernel._bcr_lanes) OR
+              warm-started stair-PCG      (pcg_kernel._pcg_loop)
   primal recovery dz                       (common/dz.cuh semantics)
   8-alpha line-search merit evaluation     (common/merit.cuh semantics)
   accept / Levenberg rho update            (pcg/sqp.cuh:373-389 semantics)
@@ -17,11 +18,18 @@ per-iteration I/O shrinks to the iterate itself: (X, U, scalars) in,
 (X, U, lam, scalars) out -- ~60 KB at N=64 vs the ~3.6 MB of Schur-system
 HBM traffic the staged path round-trips between its three kernels.
 
-Constraints: power-of-2 N <= 128 (single-tile lane width for the
-tangent-RNEA stage -- the round-1 Mosaic lesson), eepos tracking, no
-angle wrap -- i.e. exactly the fused-stage envelope plus the BCR solver.
-The line-search batch runs at 8N lanes (<= 1024), using only routines
-hardware-verified at those widths (fk_ee_xyz / aba_qdd / row_sum).
+The PCG variant (sqp_iter_mega_pcg) is the tracking-grade flagship: the
+stair preconditioner is formed in-kernel (linsys_setup.cuh:11-49
+semantics) and the dual solve is the warm-started CG loop -- no BCR
+drift (see RESULTS.md round-2 analysis), same single-dispatch latency
+profile.
+
+Constraints: N <= 128 (single-tile lane width for the tangent-RNEA
+stage -- the round-1 Mosaic lesson; power-of-2 additionally required for
+the BCR solver), eepos tracking, no angle wrap -- i.e. exactly the
+fused-stage envelope.  The line-search batch runs at 8N lanes (<= 1024),
+using only routines hardware-verified at those widths (fk_ee_xyz /
+aba_qdd / row_sum).
 """
 from __future__ import annotations
 
@@ -36,6 +44,80 @@ from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.ops.pallas import lanedyn as ld
 from mpcgpu_tpu.ops.pallas.bcr_kernel import _bcr_refined
 from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import _lane_mask, _perknot
+from mpcgpu_tpu.ops.pallas.pcg_kernel import _pcg_loop
+
+
+def _line_search(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
+                 integrator_type: int, gravity: float, mu: float,
+                 num_alphas: int, X, U, dX, dU, goals, xs,
+                 x_tab, h_tab, I_tab):
+    """8-alpha candidate merit evaluation, candidate-major lane batch
+    b = a*N + k (common/merit.cuh semantics; the incumbent merit arrives
+    from the previous iteration).  Returns (best_merit, best_alpha)."""
+    n = X.shape[1]
+    dtype = X.dtype
+    alphas = [1.0 / 2 ** i for i in range(num_alphas)]
+    one = _lane_mask(n, 0, n, dtype)  # forces materialized layouts for concat
+    Xc = jnp.concatenate([X + (a * one) * dX for a in alphas], axis=1)
+    Uc = jnp.concatenate([U + (a * one) * dU for a in alphas], axis=1)
+    goals_c = jnp.concatenate([goals] * num_alphas, axis=1)
+
+    b = jax.lax.broadcasted_iota(jnp.int32, (1, num_alphas * n), 1)
+    k_idx = b % n
+    mc_last = (k_idx < n - 1).astype(dtype)
+    mc0 = (k_idx == 0).astype(dtype)
+
+    q_c, qd_c = Xc[:nq], Xc[nq:]
+    ee = ld.fk_ee_xyz(h_tab, q_c)
+    e3 = ee - goals_c
+    cost = 0.5 * ld.row_sum(e3 * e3)
+    cost = cost + 0.5 * qd_cost * ld.row_sum(qd_c * qd_c)
+    cost = cost + mc_last * 0.5 * r_cost * ld.row_sum(Uc * Uc)
+    qdd_c = ld.aba_qdd(x_tab, I_tab, q_c, qd_c, Uc, gravity)
+    if integrator_type == 0:
+        qn = q_c + dt * qd_c
+        qdn = qd_c + dt * qdd_c
+    else:
+        qdn = qd_c + dt * qdd_c
+        qn = q_c + dt * qdn
+    f_c = jnp.concatenate([qn, qdn], axis=0)
+    xc_next = pltpu.roll(Xc, Xc.shape[1] - 1, axis=1)
+    defect = ld.row_sum(jnp.abs(xc_next - f_c)) * mc_last
+    c0 = ld.row_sum(jnp.abs(Xc - xs)) * mc0
+    contrib = cost + mu * (defect + c0)       # (1, A*N)
+
+    # per-candidate reduction + argmin, unrolled over the 8 candidates
+    cand = b // n
+    best_merit = jnp.sum(jnp.where(cand == 0, contrib, 0.0))
+    best_alpha = jnp.asarray(alphas[0], dtype)
+    for i in range(1, num_alphas):
+        m_i = jnp.sum(jnp.where(cand == i, contrib, 0.0))
+        take = m_i < best_merit
+        best_alpha = jnp.where(take, jnp.asarray(alphas[i], dtype),
+                               best_alpha)
+        best_merit = jnp.where(take, m_i, best_merit)
+    return best_merit, best_alpha
+
+
+def _rho_schedule(rho, drho, merit_prev, best_merit, best_alpha,
+                  rho_factor: float, rho_min: float, rho_max: float,
+                  rho_reset: float, dtype):
+    """Accept test + Levenberg rho schedule (pcg/sqp.cuh:373-389).
+
+    Returns (accept, step, rho_new, drho_new, merit_new, bail)."""
+    accept = best_merit < merit_prev
+    f = jnp.asarray(rho_factor, dtype)
+    drho_rej = jnp.maximum(drho * f, f)
+    rho_rej = jnp.maximum(rho * drho_rej, rho_min)
+    drho_acc = jnp.minimum(drho / f, 1.0 / f)
+    rho_acc = jnp.maximum(rho * drho_acc, rho_min)
+    drho_new = jnp.where(accept, drho_acc, drho_rej)
+    rho_new = jnp.where(accept, rho_acc, rho_rej)
+    bail = jnp.logical_and(jnp.logical_not(accept), rho_new > rho_max)
+    rho_new = jnp.where(bail, rho_reset, rho_new)
+    step = jnp.where(accept, best_alpha, jnp.asarray(0.0, dtype))
+    merit_new = jnp.where(accept, best_merit, merit_prev)
+    return accept, step, rho_new, drho_new, merit_new, bail
 
 
 def _mega_kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,

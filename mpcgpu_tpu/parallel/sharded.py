@@ -65,8 +65,16 @@ def sharded_sqp_solve(model, cfg, mesh: Mesh, X, U, lam, goals, xs, rho,
             return pcg_sharded(mesh, schur.S, schur.Pinv, schur.gamma, lam_,
                                max_iter=cfg_.pcg.max_iter, exit_tol=tol)
 
-        register_linsys_backend("pcg_sharded", solve)
-        linsys = "pcg_sharded"
+        # The backend closure captures the mesh at trace time, and sqp_solve
+        # is jit-cached on (cfg, linsys, avals) -- so the registered name
+        # must identify THIS mesh, or a later call with a different mesh but
+        # identical shapes would hit the stale trace and run the first
+        # mesh's collectives.  Encode the device set + axis layout in the
+        # name to make the mesh part of the cache key.
+        mesh_key = (tuple(d.id for d in mesh.devices.flat),
+                    tuple(mesh.shape.items()))
+        linsys = f"pcg_sharded{mesh_key!r}"
+        register_linsys_backend(linsys, solve)
 
     X, lam, goals = shard_horizon(mesh, X, lam, goals)
     # U (and the other N-1-row arrays derived from it) have a ragged knot

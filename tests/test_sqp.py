@@ -93,13 +93,35 @@ def test_pcg_iterations_within_reference_envelope(iiwa, problem):
 
 
 def test_rho_escalation_bails(iiwa, problem):
-    """With an absurd starting rho the solve must bail via the rho > rho_max
-    path and reset rho (pcg/sqp.cuh:373-383)."""
+    """The rho > rho_max bail path must trigger and reset rho
+    (pcg/sqp.cuh:373-383).  Deterministic construction: a linsys backend
+    that returns garbage duals makes every line-search candidate blow up
+    the merit, so every iteration rejects and rho escalates by rho_factor
+    until it crosses rho_max."""
+    from mpcgpu_tpu.sqp import register_linsys_backend
+
     cfg, X, U, goals, xs, lam = problem
-    # start at optimum-ish with huge rho so steps are tiny and rejected
-    res = sqp_solve(iiwa, cfg, X, U, lam, goals, xs, 9.99, 1e-5)
-    if bool(res.stats.rho_bailed):
-        assert float(res.rho) == pytest.approx(cfg.rho_reset)
+
+    def garbage_solve(cfg_, schur, lam_, tol):
+        return jnp.full_like(lam_, 1e4), jnp.int32(0), jnp.bool_(False)
+
+    register_linsys_backend("garbage_for_test", garbage_solve)
+    try:
+        # rho starts just under rho_max: the first rejection pushes
+        # rho to 9.99 * rho_factor > rho_max -> bail on iteration 1.
+        res = sqp_solve(iiwa, cfg, X, U, lam, goals, xs, 9.99, 1e-5,
+                        linsys="garbage_for_test")
+    finally:
+        from mpcgpu_tpu import sqp as _sqp
+
+        _sqp._LINSYS_BACKENDS.pop("garbage_for_test", None)
+    assert bool(res.stats.rho_bailed)
+    assert int(res.stats.sqp_iters) == 1
+    assert not bool(res.stats.accepted.any())
+    assert float(res.rho) == pytest.approx(cfg.rho_reset)
+    # rejected steps must leave the iterate untouched
+    np.testing.assert_array_equal(np.asarray(res.X), np.asarray(X))
+    np.testing.assert_array_equal(np.asarray(res.U), np.asarray(U))
 
 
 def test_timeboxed_mode(iiwa, problem):
