@@ -52,7 +52,7 @@ def main() -> int:
     from mpcgpu_tpu.config import SolverConfig, default_pcg_exit_tols
     from mpcgpu_tpu.models.robot import iiwa14
     from mpcgpu_tpu.sim import simulate_mpc_scan
-    from mpcgpu_tpu.sqp import sqp_solve
+    from mpcgpu_tpu.sqp import megakernel_engages, sqp_solve
     from mpcgpu_tpu.utils.trajfiles import load_fixture_pair, horizon_slices
 
     n = args.n
@@ -122,7 +122,9 @@ def main() -> int:
                 "detail": {
                     "device": str(jax.devices()[0]),
                     "linsys": linsys,
-                    "megakernel": cfg.megakernel,
+                    # actual engagement, not the config flag (the flag is
+                    # ignored for combinations the megakernel doesn't cover)
+                    "megakernel": megakernel_engages(cfg, linsys),
                     "n_updates": n_updates,
                     "wall_us_total": round(wall_us, 0),
                     "avg_tracking_error_m": round(float(te.mean()), 4),

@@ -36,6 +36,16 @@ class Settings:
     max_timesteps: Optional[int] = None
     warmup_iters: int = 100
     hessian: str = "reference"
+    # Timing tier (reference timing_mode, runner.py:38-58 ->
+    # TIME_LINSYS / FINE_GRAINED_TIMING builds, settings.cuh:109-118):
+    #   "minimal"      -- whole-solve wall time only (default)
+    #   "linsys"       -- additionally record per-update linear-solve time
+    #   "fine_grained" -- per-phase KKT/Schur/linsys/dz/line-search times
+    timing_mode: str = "minimal"
+    # Sample device memory during each run (the reference launcher's
+    # nvidia-smi --loop-ms sampling, run_mpcgpu.sh:64-96) and record the
+    # peak in the summary.
+    sample_memory: bool = False
 
 
 def _solver_config(st: Settings, n: int):
@@ -80,17 +90,48 @@ def run_expr(settings: Settings, name: str,
         )
         per_n = {}
         solvers = ["pcg"] + (["qdldl"] if settings.run_qdldl else [])
+        assert settings.timing_mode in ("minimal", "linsys", "fine_grained"), \
+            settings.timing_mode
+        fine = settings.timing_mode in ("linsys", "fine_grained")
         for solver in solvers:
+            import contextlib
+
+            if settings.sample_memory:
+                from mpcgpu_tpu.utils.meminfo import MemorySampler
+
+                sampler_cm = MemorySampler(interval_ms=100.0)
+            else:
+                sampler_cm = contextlib.nullcontext()
             t0 = time.time()
-            rec = simulate_mpc(
-                model, cfg, xu, ee,
-                pcg_exit_tol=tol, linsys=solver,
-                warmup_iters=settings.warmup_iters,
-                max_timesteps=settings.max_timesteps,
-            )
+            with sampler_cm as sampler:
+                rec = simulate_mpc(
+                    model, cfg, xu, ee,
+                    pcg_exit_tol=tol, linsys=solver,
+                    warmup_iters=settings.warmup_iters,
+                    max_timesteps=settings.max_timesteps,
+                    fine_grained_timing=fine,
+                )
             summary = rec.summary()
             summary["wall_time_s"] = time.time() - t0
             summary["pcg_exit_tol"] = tol
+            if fine:
+                import numpy as _np
+
+                phases = {"linsys": rec.linsys_times_us}
+                if settings.timing_mode == "fine_grained":
+                    phases.update(
+                        kkt=rec.kkt_times_us, schur=rec.schur_times_us,
+                        dz=rec.dz_times_us,
+                        line_search=rec.line_search_times_us,
+                    )
+                summary["phase_times_us"] = {
+                    k: {"avg": float(_np.mean(v)) if v else float("nan"),
+                        "p50": float(_np.median(v)) if v else float("nan")}
+                    for k, v in phases.items()
+                }
+            if settings.sample_memory:
+                summary["peak_device_bytes"] = sampler.peak_bytes()
+                summary["memory_samples"] = len(sampler.samples)
             per_n[solver] = summary
             print(f"N={n} {solver}: "
                   f"p50_solve={summary['p50_sqp_time_us']:.0f}us "
@@ -111,6 +152,9 @@ def init_runner(default: Settings) -> Settings:
     ap.add_argument("--knots", type=int, nargs="*", default=None)
     ap.add_argument("--max-timesteps", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--timing-mode", default=None,
+                    choices=["minimal", "linsys", "fine_grained"])
+    ap.add_argument("--sample-memory", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -119,6 +163,10 @@ def init_runner(default: Settings) -> Settings:
         default = dataclasses.replace(default, knot_points=tuple(args.knots))
     if args.max_timesteps:
         default = dataclasses.replace(default, max_timesteps=args.max_timesteps)
+    if args.timing_mode:
+        default = dataclasses.replace(default, timing_mode=args.timing_mode)
+    if args.sample_memory:
+        default = dataclasses.replace(default, sample_memory=True)
     if args.dry_run:
         default = dataclasses.replace(
             default, knot_points=tuple(default.knot_points[:2]),

@@ -173,68 +173,112 @@ def _mega_kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     dX = -ld.lane_matvec(Qinv, qg - lam + At_lam)
     dU = -ld.lane_matvec(Rinv, rg + ld.lane_matvec_T(Bm, lam_next)) * m_last
 
-    # ---- 8-alpha line search, candidate-major lane batch b = a*N + k
-    # (merit_kernel semantics; base merit arrives as merit_prev)
-    alphas = [1.0 / 2 ** i for i in range(num_alphas)]
-    one = _lane_mask(n, 0, n, dtype)  # forces materialized layouts for concat
-    Xc = jnp.concatenate([X + (a * one) * dX for a in alphas], axis=1)
-    Uc = jnp.concatenate([U + (a * one) * dU for a in alphas], axis=1)
-    goals_c = jnp.concatenate([goals] * num_alphas, axis=1)
-
-    b = jax.lax.broadcasted_iota(jnp.int32, (1, num_alphas * n), 1)
-    k_idx = b % n
-    mc_last = (k_idx < n - 1).astype(dtype)
-    mc0 = (k_idx == 0).astype(dtype)
-
-    q_c, qd_c = Xc[:nq], Xc[nq:]
-    ee = ld.fk_ee_xyz(h_tab, q_c)
-    e3 = ee - goals_c
-    cost = 0.5 * ld.row_sum(e3 * e3)
-    cost = cost + 0.5 * qd_cost * ld.row_sum(qd_c * qd_c)
-    cost = cost + mc_last * 0.5 * r_cost * ld.row_sum(Uc * Uc)
-    qdd_c = ld.aba_qdd(x_tab, I_tab, q_c, qd_c, Uc, gravity)
-    if integrator_type == 0:
-        qn = q_c + dt * qd_c
-        qdn = qd_c + dt * qdd_c
-    else:
-        qdn = qd_c + dt * qdd_c
-        qn = q_c + dt * qdn
-    f_c = jnp.concatenate([qn, qdn], axis=0)
-    xc_next = pltpu.roll(Xc, Xc.shape[1] - 1, axis=1)
-    defect = ld.row_sum(jnp.abs(xc_next - f_c)) * mc_last
-    c0 = ld.row_sum(jnp.abs(Xc - xs)) * mc0
-    contrib = cost + mu * (defect + c0)       # (1, A*N)
-
-    # per-candidate reduction + argmin, unrolled over the 8 candidates
-    cand = b // n
-    best_merit = jnp.sum(jnp.where(cand == 0, contrib, 0.0))
-    best_alpha = jnp.asarray(alphas[0], dtype)
-    for i in range(1, num_alphas):
-        m_i = jnp.sum(jnp.where(cand == i, contrib, 0.0))
-        take = m_i < best_merit
-        best_alpha = jnp.where(take, jnp.asarray(alphas[i], dtype),
-                               best_alpha)
-        best_merit = jnp.where(take, m_i, best_merit)
-
-    # ---- accept / Levenberg rho schedule (pcg/sqp.cuh:373-389)
-    accept = best_merit < merit_prev
-    f = jnp.asarray(rho_factor, dtype)
-    drho_rej = jnp.maximum(drho * f, f)
-    rho_rej = jnp.maximum(rho * drho_rej, rho_min)
-    drho_acc = jnp.minimum(drho / f, 1.0 / f)
-    rho_acc = jnp.maximum(rho * drho_acc, rho_min)
-    drho_new = jnp.where(accept, drho_acc, drho_rej)
-    rho_new = jnp.where(accept, rho_acc, rho_rej)
-    bail = jnp.logical_and(jnp.logical_not(accept), rho_new > rho_max)
-    rho_new = jnp.where(bail, rho_reset, rho_new)
-
-    step = jnp.where(accept, best_alpha, jnp.asarray(0.0, dtype))
+    # ---- 8-alpha line search + accept / Levenberg rho schedule
+    best_merit, best_alpha = _line_search(
+        nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, mu,
+        num_alphas, X, U, dX, dU, goals, xs, x_tab, h_tab, I_tab,
+    )
+    accept, step, rho_new, drho_new, merit_new, bail = _rho_schedule(
+        rho, drho, merit_prev, best_merit, best_alpha,
+        rho_factor, rho_min, rho_max, rho_reset, dtype,
+    )
     x_out[:] = X + step * dX
     u_out[:] = U + step * dU
     lam_out[:] = lam
     rho_out[0] = rho_new
     drho_out[0] = drho_new
-    merit_out[0] = jnp.where(accept, best_merit, merit_prev)
+    merit_out[0] = merit_new
+    accept_out[0] = accept.astype(jnp.int32)
+    bail_out[0] = bail.astype(jnp.int32)
+
+
+def _mega_kernel_pcg(nq: int, nu: int, dt: float, qd_cost: float,
+                     r_cost: float, integrator_type: int, gravity: float,
+                     hessian: str, mu: float, num_alphas: int,
+                     rho_factor: float, rho_min: float, rho_max: float,
+                     rho_reset: float,
+                     max_iter_ref, tol_ref, rho_ref, drho_ref, merit_ref,
+                     x_ref, u_ref, goals_ref, xs_ref, lam0_ref,
+                     hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
+                     x_out, u_out, lam_out,
+                     rho_out, drho_out, merit_out, accept_out, bail_out,
+                     iters_out, hit_out):
+    """The tracking-grade megakernel: stair-PCG dual solve instead of BCR.
+
+    Identical per-knot / cross-knot stages, plus the in-kernel stair
+    preconditioner (linsys_setup.cuh:11-49 semantics) and the warm-started
+    CG loop (_pcg_loop, the same routine the staged fused kernel runs)."""
+    nx = 2 * nq
+    X = x_ref[:]
+    U = u_ref[:]
+    goals = goals_ref[:]
+    xs = xs_ref[:]
+    lam0 = lam0_ref[:]
+    rho = rho_ref[0]
+    drho = drho_ref[0]
+    merit_prev = merit_ref[0]
+    n = X.shape[1]
+    dtype = X.dtype
+
+    x_tab = (xc[:], xs_t[:], xk[:])
+    h_tab = (hc[:], hs[:], hk[:])
+    dh_tab = (dhc[:], dhs[:], dhk[:])
+    I_tab = i_ref[:]
+
+    # ---- KKT linearization + per-knot Schur products
+    (A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = _perknot(
+        nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
+        rho, X, U, goals, x_tab, h_tab, dh_tab, I_tab,
+    )
+
+    # ---- cross-knot Schur assembly (kkt_schur_kernel._kernel semantics)
+    x_next = pltpu.roll(X, n - 1, axis=1)
+    err = x_next - f_pred
+    c = pltpu.roll(err, 1, axis=1) * _lane_mask(n, 1, n, dtype)
+    m1 = _lane_mask(n, 1, n, dtype)[None]
+    mN = _lane_mask(n, 0, n - 1, dtype)[None]
+    theta = Qinv + pltpu.roll(T, 1, axis=2) * m1
+    phi = -pltpu.roll(AQi, 1, axis=2) * m1
+    SU = -ld.lane_transpose(AQi) * mN
+    gamma = Qiq - pltpu.roll(t_vec, 1, axis=1) * m1[0] - c
+
+    # ---- stair preconditioner (linsys_setup.cuh:11-49)
+    theta_inv = ld.spd_inverse_lane(theta)
+    PL = -ld.lane_matmul(
+        ld.lane_matmul(theta_inv, phi), pltpu.roll(theta_inv, 1, axis=2)
+    ) * m1
+    PU = -ld.lane_matmul(
+        ld.lane_matmul(theta_inv, SU), pltpu.roll(theta_inv, n - 1, axis=2)
+    ) * mN
+
+    # ---- warm-started CG dual solve (the staged kernel's _pcg_loop)
+    lam, iters, eta = _pcg_loop(phi, theta, SU, PL, theta_inv, PU,
+                                gamma, lam0, max_iter_ref[0], tol_ref[0])
+    iters_out[0] = iters
+    hit_out[0] = (jnp.abs(eta) > tol_ref[0]).astype(jnp.int32)
+
+    # ---- primal recovery (common/dz.cuh:125 semantics)
+    m_last = _lane_mask(n, 0, n - 1, dtype)
+    lam_next = pltpu.roll(lam, n - 1, axis=1) * m_last
+    At_lam = ld.lane_matvec_T(A, lam_next) * m_last
+    dX = -ld.lane_matvec(Qinv, qg - lam + At_lam)
+    dU = -ld.lane_matvec(Rinv, rg + ld.lane_matvec_T(Bm, lam_next)) * m_last
+
+    # ---- 8-alpha line search + accept / Levenberg rho schedule
+    best_merit, best_alpha = _line_search(
+        nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, mu,
+        num_alphas, X, U, dX, dU, goals, xs, x_tab, h_tab, I_tab,
+    )
+    accept, step, rho_new, drho_new, merit_new, bail = _rho_schedule(
+        rho, drho, merit_prev, best_merit, best_alpha,
+        rho_factor, rho_min, rho_max, rho_reset, dtype,
+    )
+    x_out[:] = X + step * dX
+    u_out[:] = U + step * dU
+    lam_out[:] = lam
+    rho_out[0] = rho_new
+    drho_out[0] = drho_new
+    merit_out[0] = merit_new
     accept_out[0] = accept.astype(jnp.int32)
     bail_out[0] = bail.astype(jnp.int32)
 
@@ -289,3 +333,62 @@ def sqp_iter_mega(model: RobotModel, Xl, Ul, goals_l, xs, rho, drho, merit,
     Xn, Un, lam_l, rho_n, drho_n, merit_n, acc, bail = outs
     return (Xn, Un, lam_l, rho_n[0], drho_n[0], merit_n[0],
             acc[0] != 0, bail[0] != 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "qd_cost", "r_cost", "integrator_type", "gravity",
+                     "hessian", "mu", "num_alphas", "rho_factor", "rho_min",
+                     "rho_max", "rho_reset", "interpret"),
+)
+def sqp_iter_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
+                      rho, drho, merit, max_iter, exit_tol,
+                      dt: float, qd_cost: float, r_cost: float,
+                      integrator_type: int, gravity: float, hessian: str,
+                      mu: float, num_alphas: int, rho_factor: float,
+                      rho_min: float, rho_max: float, rho_reset: float,
+                      interpret: bool = None):
+    """One SQP iteration with the warm-started stair-PCG dual solve,
+    fused end-to-end in one dispatch.  Xl (nx, N), Ul (nu, N; lane N-1
+    zero), goals_l (3, N), xs (nx,), lam0_l (nx, N) warm duals.  Returns
+    (Xl', Ul', lam_l, rho', drho', merit', accept, bail, pcg_iters,
+    hit_max)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nx, n = Xl.shape
+    nu = Ul.shape[0]
+    nq = nx // 2
+    f32 = Xl.dtype
+    kern = functools.partial(
+        _mega_kernel_pcg, nq, nu, float(dt), float(qd_cost), float(r_cost),
+        int(integrator_type), float(gravity), str(hessian), float(mu),
+        int(num_alphas), float(rho_factor), float(rho_min), float(rho_max),
+        float(rho_reset),
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    sds = jax.ShapeDtypeStruct
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            sds((nx, n), f32), sds((nu, n), f32), sds((nx, n), f32),
+            sds((1,), f32), sds((1,), f32), sds((1,), f32),
+            sds((1,), jnp.int32), sds((1,), jnp.int32),
+            sds((1,), jnp.int32), sds((1,), jnp.int32),
+        ),
+        in_specs=[smem] * 5 + [vmem] * 15,
+        out_specs=(vmem, vmem, vmem, smem, smem, smem, smem, smem, smem,
+                   smem),
+        interpret=interpret,
+    )(
+        jnp.asarray(max_iter, jnp.int32).reshape(1),
+        jnp.asarray(exit_tol, f32).reshape(1),
+        jnp.asarray(rho, f32).reshape(1), jnp.asarray(drho, f32).reshape(1),
+        jnp.asarray(merit, f32).reshape(1),
+        Xl, Ul, goals_l, xs[:, None], lam0_l,
+        model.Hc, model.Hs, model.Hk, model.dHc, model.dHs, model.dHk,
+        model.Xc, model.Xs, model.Xk, model.I,
+    )
+    Xn, Un, lam_l, rho_n, drho_n, merit_n, acc, bail, iters, hit = outs
+    return (Xn, Un, lam_l, rho_n[0], drho_n[0], merit_n[0],
+            acc[0] != 0, bail[0] != 0, iters[0], hit[0] != 0)

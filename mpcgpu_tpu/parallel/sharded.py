@@ -40,9 +40,22 @@ def replicate(mesh: Mesh, *arrays):
     return tuple(jax.device_put(a, sh) for a in arrays)
 
 
+def _mesh_key(mesh: Mesh):
+    """Stable identity of a mesh for backend-name purposes.
+
+    Backend closures capture the mesh at trace time, and sqp_solve is
+    jit-cached on (cfg, linsys, avals) -- so a registered name must
+    identify THE mesh, or a later call with a different mesh but
+    identical shapes would hit the stale trace and run the first mesh's
+    collectives.  Encoding the device set + axis layout in the name makes
+    the mesh part of the cache key."""
+    return (tuple(d.id for d in mesh.devices.flat),
+            tuple(mesh.shape.items()))
+
+
 def sharded_sqp_solve(model, cfg, mesh: Mesh, X, U, lam, goals, xs, rho,
                       pcg_exit_tol, linsys: str = "pcg",
-                      explicit_pcg: bool = False):
+                      explicit_pcg: bool = False, fused_pcg: bool = False):
     """One SQP solve with the horizon sharded across the mesh.
 
     X, lam, goals shard evenly over the knot axis; U has N-1 rows and is
@@ -55,9 +68,17 @@ def sharded_sqp_solve(model, cfg, mesh: Mesh, X, U, lam, goals, xs, rho,
     halos) behind the standard linsys-backend seam, so the explicit
     communication pattern is reachable from the production solve, not
     just from tests.
+
+    fused_pcg=True goes one further: the per-shard CG compute (banded
+    SpMV + stair-preconditioner apply) runs as the production fused
+    Pallas kernels with explicit ppermute halos + psum dots between
+    kernel steps (parallel/pcg_sharded_pallas) -- the at-scale
+    composition of the sharded and fused designs (BASELINE config 5).
     """
     from mpcgpu_tpu.sqp import register_linsys_backend, sqp_solve
 
+    if explicit_pcg and fused_pcg:
+        raise ValueError("choose one of explicit_pcg / fused_pcg")
     if explicit_pcg:
         from mpcgpu_tpu.parallel.pcg_sharded import pcg_sharded
 
@@ -65,15 +86,17 @@ def sharded_sqp_solve(model, cfg, mesh: Mesh, X, U, lam, goals, xs, rho,
             return pcg_sharded(mesh, schur.S, schur.Pinv, schur.gamma, lam_,
                                max_iter=cfg_.pcg.max_iter, exit_tol=tol)
 
-        # The backend closure captures the mesh at trace time, and sqp_solve
-        # is jit-cached on (cfg, linsys, avals) -- so the registered name
-        # must identify THIS mesh, or a later call with a different mesh but
-        # identical shapes would hit the stale trace and run the first
-        # mesh's collectives.  Encode the device set + axis layout in the
-        # name to make the mesh part of the cache key.
-        mesh_key = (tuple(d.id for d in mesh.devices.flat),
-                    tuple(mesh.shape.items()))
-        linsys = f"pcg_sharded{mesh_key!r}"
+        linsys = f"pcg_sharded{_mesh_key(mesh)!r}"
+        register_linsys_backend(linsys, solve)
+    elif fused_pcg:
+        from mpcgpu_tpu.parallel.pcg_sharded_pallas import pcg_sharded_pallas
+
+        def solve(cfg_, schur, lam_, tol):
+            return pcg_sharded_pallas(
+                mesh, schur.S, schur.Pinv, schur.gamma, lam_,
+                max_iter=cfg_.pcg.max_iter, exit_tol=tol)
+
+        linsys = f"pcg_sharded_pallas{_mesh_key(mesh)!r}"
         register_linsys_backend(linsys, solve)
 
     X, lam, goals = shard_horizon(mesh, X, lam, goals)

@@ -122,14 +122,21 @@ def _plant_rollout(model: RobotModel, cfg: SolverConfig, x, U_prev,
     return x + rem * jnp.concatenate([x[nq:], qdd])
 
 
-def _shift_horizon(X, U, goals, lam, xu_traj, ee_traj, traj_offset):
+def _shift_horizon(X, U, goals, lam, xu_traj, ee_traj, traj_offset,
+                   traj_steps=None):
     """One horizon shift with tail refill (mpcsim.cuh:343-387).
 
     traj_offset is the *already incremented* trajectory index.
+    traj_steps: logical trajectory length; defaults to the array length.
+    Passing it as a traced scalar lets differently-long recorded
+    trajectories share ONE compiled program (pad the arrays to a common
+    static shape, pass the true length here) -- the all-pairs study would
+    otherwise re-jit per fixture.
     """
     n = X.shape[0]
     nx, nu = X.shape[1], U.shape[1]
-    traj_steps = xu_traj.shape[0]
+    if traj_steps is None:
+        traj_steps = xu_traj.shape[0]
     within = traj_offset + n < traj_steps
 
     X = jnp.roll(X, -1, axis=0)
@@ -402,7 +409,7 @@ def make_shift_schedule(cfg: SolverConfig, n_updates: int):
 @partial(jax.jit, static_argnames=("cfg", "n_updates", "linsys"))
 def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
                       X, U, lam, rho, pcg_exit_tol, n_updates: int,
-                      linsys: str = "pcg"):
+                      linsys: str = "pcg", traj_len=None):
     """Closed-loop tracking entirely on device: a lax.scan over control
     updates (solve -> plant rollout -> optional shift -> re-injection),
     with per-update statistics accumulated as scan outputs.
@@ -412,6 +419,10 @@ def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
     throughput/latency measurement where no host round-trip separates
     control updates.  Constant-update-period mode only (the shift schedule
     must be precomputable).
+
+    traj_len: optional traced logical trajectory length (see
+    _shift_horizon) -- pad xu_traj/ee_traj to a shared static shape and
+    pass the true length to reuse one compiled program across fixtures.
     """
     n = cfg.knot_points
     do_shift, offsets = make_shift_schedule(cfg, n_updates)
@@ -436,7 +447,7 @@ def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
         U_prev = U  # pre-shift plan snapshot (mpcsim.cuh:337)
 
         Xs, Us, Gs, Ls = _shift_horizon(X, U, goals, lam, xu_traj, ee_traj,
-                                        off)
+                                        off, traj_len)
         sel = lambda a, b: jnp.where(shift_now, a, b)
         X, U, goals, lam = sel(Xs, X), sel(Us, U), sel(Gs, goals), sel(Ls, lam)
         X = X.at[0].set(xs)

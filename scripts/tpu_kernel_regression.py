@@ -181,6 +181,50 @@ def check_megakernel(model, X, U, lam, goals, xs, results, n):
     return ok
 
 
+def check_megakernel_pcg(model, X, U, lam, goals, xs, results, n):
+    """The tracking-grade megakernel (warm-started stair-PCG fused with
+    the whole iteration) must reproduce the staged fused-PCG path --
+    same CG loop, same iteration counts, same accept decisions."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.sqp import sqp_solve
+
+    base = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=2),
+                               pallas_stages=True)
+    # perturbed start so the CG loop actually iterates
+    rng = np.random.default_rng(5)
+    Xp = jnp.asarray(np.asarray(X) + 0.02 * rng.normal(size=X.shape),
+                     jnp.float32)
+    rho = jnp.asarray(1e-3, jnp.float32)
+    tol = jnp.asarray(1e-6, jnp.float32)
+    rm = sqp_solve(model, dataclasses.replace(base, megakernel=True),
+                   Xp, U, lam, goals, xs, rho, tol, "pcg")
+    rs = sqp_solve(model, dataclasses.replace(base, megakernel=False),
+                   Xp, U, lam, goals, xs, rho, tol, "pcg")
+    it_m = np.asarray(rm.stats.pcg_iters)
+    it_s = np.asarray(rs.stats.pcg_iters)
+    errs = {
+        "x": _relerr(rm.X, rs.X),
+        "u": _relerr(rm.U, rs.U),
+        "lam": _relerr(rm.lam, rs.lam),
+        "merit": abs(float(rm.stats.final_merit) - float(rs.stats.final_merit))
+        / max(abs(float(rs.stats.final_merit)), 1e-9),
+        "accept_match": bool(
+            (np.asarray(rm.stats.accepted) == np.asarray(rs.stats.accepted))
+            .all()),
+        "iters_mega": it_m.tolist(),
+        "iters_staged": it_s.tolist(),
+        "iters_ran": bool((it_m[it_m >= 0] > 0).any()),
+    }
+    ok = (errs["x"] < 1e-2 and errs["u"] < 1e-2 and errs["merit"] < 1e-2
+          and errs["accept_match"] and errs["iters_ran"])
+    results[f"megakernel_pcg_n{n}"] = {"ok": ok, **errs}
+    return ok
+
+
 def check_rollout(model, X, U, goals, results):
     import jax.numpy as jnp
 
@@ -258,6 +302,11 @@ def main():
                     ("megakernel",
                      lambda: check_megakernel(model, X, U, lam, goals, xs,
                                               results, n)))
+            if n <= 128:
+                checks.append(
+                    ("megakernel_pcg",
+                     lambda: check_megakernel_pcg(model, X, U, lam, goals,
+                                                  xs, results, n)))
             for name, fn in checks:
                 try:
                     all_ok &= fn()
@@ -268,7 +317,8 @@ def main():
         print(f"N={n}: {time.time() - t0:.1f}s "
               f"{'OK' if all_ok else 'FAILURES (see json)'}")
         for key in (f"kkt_schur_n{n}", f"pcg_dz_n{n}", f"bcr_dz_n{n}",
-                    f"merit_n{n}", f"megakernel_n{n}"):
+                    f"merit_n{n}", f"megakernel_n{n}",
+                    f"megakernel_pcg_n{n}"):
             if key in results:
                 print(f"  {key}: {results[key]}")
         # checkpoint partial results so mid-run failures are inspectable

@@ -20,6 +20,46 @@ def test_run_expr_dry(tmp_path, fixtures_dir):
 
 
 @pytest.mark.slow
+def test_run_expr_timing_tiers_and_memory(tmp_path, fixtures_dir):
+    """timing_mode routes to fine-grained phase timing (reference
+    timing_mode MINIMAL/LINSYS/FINE_GRAINED, runner.py:38-58) and
+    sample_memory wires up the MemorySampler (run_mpcgpu.sh:64-96)."""
+    from runner import Settings, run_expr
+
+    st = Settings(knot_points=(8,), max_timesteps=3, warmup_iters=1,
+                  timing_mode="fine_grained", sample_memory=True)
+    res = run_expr(st, "tiers", results_dir=tmp_path,
+                   fixtures_dir=fixtures_dir)
+    s = res[8]["pcg"]
+    assert set(s["phase_times_us"]) == {
+        "kkt", "schur", "linsys", "dz", "line_search"}
+    assert all(v["avg"] > 0 for v in s["phase_times_us"].values())
+    assert "peak_device_bytes" in s and s["memory_samples"] >= 1
+
+    st_lin = Settings(knot_points=(8,), max_timesteps=3, warmup_iters=1,
+                      timing_mode="linsys")
+    res = run_expr(st_lin, "tiers_lin", results_dir=tmp_path,
+                   fixtures_dir=fixtures_dir)
+    assert set(res[8]["pcg"]["phase_times_us"]) == {"linsys"}
+
+
+def test_memory_sampler_collects():
+    """MemorySampler (the launcher's nvidia-smi --loop-ms analogue) must
+    record periodic samples and survive backends without memory_stats."""
+    import time
+
+    from mpcgpu_tpu.utils.meminfo import MemorySampler, device_memory_stats
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+    with MemorySampler(interval_ms=20.0) as s:
+        time.sleep(0.15)
+    assert len(s.samples) >= 3
+    assert {"t_s", "bytes_in_use", "peak_bytes_in_use"} <= set(s.samples[0])
+    float(s.peak_bytes())  # nan allowed off-TPU, must not raise
+
+
+@pytest.mark.slow
 def test_stage_latencies(iiwa, fixtures_dir):
     import jax.numpy as jnp
 

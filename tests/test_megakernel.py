@@ -43,3 +43,43 @@ def test_megakernel_matches_staged(iiwa, traj_0_0):
     assert (np.asarray(rm.stats.accepted) == np.asarray(rs.stats.accepted)).all()
     np.testing.assert_allclose(float(rm.stats.final_merit),
                                float(rs.stats.final_merit), rtol=1e-5)
+
+
+def test_megakernel_pcg_matches_staged(iiwa, traj_0_0):
+    """The tracking-grade megakernel (warm-started stair-PCG dual solve
+    fused with the whole iteration) must reproduce the staged fused-PCG
+    path: same warm start, same exit tolerance, same CG loop."""
+    xu, ee = traj_0_0
+    n = 4
+    base = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=2),
+                               pallas_stages=True)
+    rng = np.random.default_rng(5)
+    # perturbed start so the CG loop actually iterates (the unperturbed
+    # fixture start exits at 0 iterations at this tolerance)
+    X = jnp.asarray(xu[:n, :14] + 0.02 * rng.normal(size=(n, 14)),
+                    jnp.float32)
+    U = jnp.asarray(xu[: n - 1, 14:])
+    goals = jnp.asarray(ee[:n])
+    xs = X[0]
+    lam = jnp.zeros((n, 14), jnp.float32)
+    rho = jnp.asarray(1e-3, jnp.float32)
+
+    rm = sqp_solve(iiwa, dataclasses.replace(base, megakernel=True),
+                   X, U, lam, goals, xs, rho, 1e-6, "pcg")
+    rs = sqp_solve(iiwa, dataclasses.replace(base, megakernel=False),
+                   X, U, lam, goals, xs, rho, 1e-6, "pcg")
+
+    np.testing.assert_allclose(np.asarray(rm.X), np.asarray(rs.X),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rm.U), np.asarray(rs.U),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rm.lam), np.asarray(rs.lam),
+                               rtol=1e-4, atol=1e-5)
+    assert (np.asarray(rm.stats.accepted) == np.asarray(rs.stats.accepted)).all()
+    # PCG iteration counts must be recorded (not the BCR path's zeros)
+    it_m = np.asarray(rm.stats.pcg_iters)
+    it_s = np.asarray(rs.stats.pcg_iters)
+    np.testing.assert_array_equal(it_m, it_s)
+    assert (it_m[it_m >= 0] > 0).any()
+    np.testing.assert_allclose(float(rm.stats.final_merit),
+                               float(rs.stats.final_merit), rtol=1e-5)

@@ -79,6 +79,79 @@ def test_collectives_in_compiled_hlo(mesh):
         "GSPMD partitioning lost the halo exchange"
 
 
+N_BIG = 512  # the reference's largest tuned horizon (settings.cuh:135-156)
+
+
+def test_fused_sharded_pcg_matches_single_device_at_n512(mesh):
+    """At-scale check (BASELINE config 5): the shard_map fused-Pallas PCG
+    (per-shard band kernels + ppermute halos + psum dots) must match the
+    single-device solver at N=512 -- same iteration count, same residual
+    quality."""
+    from mpcgpu_tpu.parallel.pcg_sharded_pallas import pcg_sharded_pallas
+
+    kkt = random_kkt(seed=7, n=N_BIG)
+    sd = form_schur(kkt, RHO)
+    lam0 = jnp.zeros((N_BIG, NX), jnp.float32)
+
+    ref = pcg(sd.S, sd.Pinv, sd.gamma, lam0, max_iter=400, exit_tol=1e-10)
+    lam, iters, hit = pcg_sharded_pallas(mesh, sd.S, sd.Pinv, sd.gamma,
+                                         lam0, 400, 1e-10)
+    assert not bool(hit)
+    assert abs(int(iters) - int(ref.iters)) <= 3
+    gnorm = float(jnp.linalg.norm(sd.gamma))
+    res_sh = float(jnp.linalg.norm(sd.gamma - btridiag.spmv(sd.S, lam)))
+    res_ref = float(jnp.linalg.norm(sd.gamma - btridiag.spmv(sd.S, ref.lam)))
+    assert res_sh / gnorm < 1e-4
+    assert res_sh < 3.0 * res_ref + 1e-6 * gnorm
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(ref.lam),
+                               rtol=5e-2, atol=1e-4)
+
+
+def test_collectives_in_fused_sharded_hlo_at_n512(mesh):
+    """The at-scale fused-sharded program must contain the ICI
+    collectives (all-reduce dots, collective-permute halos) at N=512 --
+    the reference's per-block reduction slots + grid syncs at its largest
+    horizon (include/pcg/sqp.cuh:137-166,275)."""
+    from mpcgpu_tpu.parallel.pcg_sharded_pallas import pcg_sharded_pallas
+
+    kkt = random_kkt(seed=9, n=N_BIG)
+    sd = form_schur(kkt, RHO)
+    lam0 = jnp.zeros((N_BIG, NX), jnp.float32)
+
+    lowered = jax.jit(
+        lambda S, Pinv, g, l0: pcg_sharded_pallas(mesh, S, Pinv, g, l0,
+                                                  50, 1e-8)
+    ).lower(sd.S, sd.Pinv, sd.gamma, lam0)
+    txt = lowered.compile().as_text()
+    assert "all-reduce" in txt, "fused sharded path lost its psum all-reduces"
+    assert "collective-permute" in txt, \
+        "fused sharded path lost its ppermute halos"
+
+
+def test_sharded_sqp_solve_fused_pcg(mesh, iiwa, traj_0_0):
+    """fused_pcg=True routes the production solve through the per-shard
+    Pallas CG and must agree with the GSPMD-partitioned solve."""
+    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.parallel.sharded import sharded_sqp_solve
+
+    xu, ee = traj_0_0
+    n = 16
+    cfg = SolverConfig.for_knots(n, sqp_max_iter=2)
+    X = jnp.asarray(xu[:n, :14]); U = jnp.asarray(xu[:n - 1, 14:])
+    goals = jnp.asarray(ee[:n]); xs = X[0]
+    lam = jnp.zeros((n, 14), jnp.float32)
+    rho = jnp.asarray(1e-3, jnp.float32)
+    tol = jnp.asarray(1e-6, jnp.float32)
+
+    res_f = sharded_sqp_solve(iiwa, cfg, mesh, X, U, lam, goals, xs,
+                              rho, tol, fused_pcg=True)
+    res_gspmd = sharded_sqp_solve(iiwa, cfg, mesh, X, U, lam, goals, xs,
+                                  rho, tol)
+    assert np.isfinite(np.asarray(res_f.X)).all()
+    np.testing.assert_allclose(np.asarray(res_f.X),
+                               np.asarray(res_gspmd.X), rtol=2e-4, atol=2e-5)
+
+
 def test_sharded_sqp_solve_runs(mesh, iiwa, traj_0_0):
     from mpcgpu_tpu.config import SolverConfig
     from mpcgpu_tpu.parallel.sharded import sharded_sqp_solve

@@ -120,6 +120,44 @@ def test_scan_loop_matches_host_loop_pallas_stages(iiwa, fixtures_dir):
     np.testing.assert_allclose(errs_scan, errs_host, rtol=2e-2, atol=2e-3)
 
 
+def test_shift_horizon_padded_traj_len_matches_unpadded(fixtures_dir):
+    """The traced traj_len path (one static shape for all fixtures --
+    the all-pairs timing fix) must reproduce the unpadded shift exactly,
+    including at the within-trajectory/goal-hold boundary."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpcgpu_tpu.sim import _shift_horizon
+
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
+    xu, ee = xu[:130], ee[:130]  # a short trajectory, like pairs 3_4 etc.
+    n = 16
+    true_len = xu.shape[0]
+    pad_len = true_len + 37
+
+    def pad(a):
+        reps = np.repeat(a[-1:], pad_len - a.shape[0], axis=0)
+        return np.concatenate([a, reps], axis=0)
+
+    X = jnp.asarray(xu[:n, :14]); U = jnp.asarray(xu[:n - 1, 14:])
+    goals = jnp.asarray(ee[:n])
+    lam = jnp.asarray(np.random.default_rng(0).normal(size=(n, 14)),
+                      jnp.float32)
+    xu_j, ee_j = jnp.asarray(xu), jnp.asarray(ee)
+    xu_p, ee_p = jnp.asarray(pad(xu)), jnp.asarray(pad(ee))
+    tlen = jnp.asarray(true_len, jnp.int32)
+
+    # offsets spanning deep-inside, the boundary flip, and past the end
+    for off in (1, true_len - n - 1, true_len - n, true_len - n + 1,
+                true_len - 2, true_len + 5):
+        ref = _shift_horizon(X, U, goals, lam, xu_j, ee_j,
+                             jnp.asarray(off, jnp.int32))
+        got = _shift_horizon(X, U, goals, lam, xu_p, ee_p,
+                             jnp.asarray(off, jnp.int32), tlen)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_mpc_tracks_second_fixture(iiwa, fixtures_dir):
     """A different recorded (start, goal) pair through the same loop."""
