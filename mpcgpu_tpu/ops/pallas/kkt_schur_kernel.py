@@ -57,9 +57,21 @@ def _lane_mask(n, lo, hi, dtype):
     return ((k >= lo) & (k < hi)).astype(dtype)
 
 
+def _wrap_lane(q):
+    """Lane-batched angleWrap: reflect q leaving (-pi, pi) back into range
+    (exact reference semantics incl. the truncated pi constant,
+    include/common/integrator.cuh:13-19; see ops/integrator.angle_wrap)."""
+    pi = jnp.asarray(3.14159, q.dtype)
+    q = jnp.where(q > pi, -(q - pi), q)
+    q = jnp.where(q < -pi, -(q + pi), q)
+    return q
+
+
 def _perknot(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
              integrator_type: int, gravity: float, hessian: str,
-             rho, X, U, goals, x_tab, h_tab, dh_tab, I_tab):
+             rho, X, U, goals, x_tab, h_tab, dh_tab, I_tab,
+             wrap: bool = False, tracking: str = "eepos",
+             q_cost: float = 1.0):
     """All strictly per-knot work for a lane batch: heavy dynamics with
     tangents, cost derivatives, regularized inverses, and the per-knot
     Schur products.  No cross-knot (roll/halo) terms -- callable from
@@ -115,24 +127,36 @@ def _perknot(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
         qn = q + dt * qdn
     A = jnp.concatenate([A_top, A_bot], axis=0)             # (nx, nx, N)
     Bm = jnp.concatenate([B_top, B_bot], axis=0)            # (nx, nu, N)
+    if wrap:
+        # ANGLE_WRAP affects only the integrated value (the defect),
+        # never the gradient (integrator.cuh:149-156)
+        qn = _wrap_lane(qn)
     f_pred = jnp.concatenate([qn, qdn], axis=0)
 
-    # ---- cost gradient / Hessian (iiwa_eepos_plant.cuh:297-378)
-    ee, J = ld.fk_ee_and_jac(h_tab, dh_tab, q)              # (3,N), (3,nq,N)
-    e3 = ee - goals
-    g_q = ld.lane_matvec_T(J, e3)                           # (nq, N)
-    qg = jnp.concatenate([g_q, qd_cost * qd], axis=0)       # (nx, N)
-    rg = r_cost * U
-
-    if hessian == "reference":
-        Q_pos = g_q[:, None, :] * g_q[None, :, :]
-    else:  # gauss_newton
-        Q_pos = ld.lane_matmul_T1(J, J)
-    # Q = [[Q_pos, 0], [0, qd_cost I]]  (plant :358-368), built by
-    # concatenation -- Mosaic has no in-kernel scatter/update-slice.
     eye_x = ld.materialize(jnp.eye(nx, dtype=dtype)[:, :, None], n)
     zq = zer_q
     qd_eye = qd_cost * eye_q
+    if tracking == "joint":
+        # joint-space tracking variant (iiwa_plant.cuh:40-332): quadratic
+        # tracking of the recorded states; goals is (nx, N) state refs
+        g_q = q_cost * (q - goals[:nq])
+        qg = jnp.concatenate([g_q, qd_cost * (qd - goals[nq:])], axis=0)
+        rg = r_cost * U
+        Q_pos = q_cost * eye_q
+    else:
+        # ---- cost gradient / Hessian (iiwa_eepos_plant.cuh:297-378)
+        ee, J = ld.fk_ee_and_jac(h_tab, dh_tab, q)          # (3,N), (3,nq,N)
+        e3 = ee - goals
+        g_q = ld.lane_matvec_T(J, e3)                       # (nq, N)
+        qg = jnp.concatenate([g_q, qd_cost * qd], axis=0)   # (nx, N)
+        rg = r_cost * U
+
+        if hessian == "reference":
+            Q_pos = g_q[:, None, :] * g_q[None, :, :]
+        else:  # gauss_newton
+            Q_pos = ld.lane_matmul_T1(J, J)
+    # Q = [[Q_pos, 0], [0, qd_cost I]]  (plant :358-368), built by
+    # concatenation -- Mosaic has no in-kernel scatter/update-slice.
     Q = jnp.concatenate(
         [jnp.concatenate([Q_pos, zq], axis=1),
          jnp.concatenate([zq, qd_eye], axis=1)],
@@ -158,7 +182,7 @@ def _perknot(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
 
 def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
             integrator_type: int, gravity: float, hessian: str,
-            precond: bool,
+            precond: bool, wrap: bool, tracking: str, q_cost: float,
             rho_ref, x_ref, u_ref, goals_ref, xs_ref,
             hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
             sl_o, sd_o, su_o, pl_o, pd_o, pu_o, gam_o, qinv_o, rinv_o,
@@ -166,7 +190,7 @@ def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     nx = 2 * nq
     X = x_ref[:]                # (nx, N)
     U = u_ref[:]                # (nu, N)
-    goals = goals_ref[:]        # (3, N)
+    goals = goals_ref[:]        # (3, N) ee goals, or (nx, N) joint refs
     del xs_ref  # c_0 is omitted from gamma, as in the reference
                 # (linsys_setup.cuh:273-276; the MPC loop re-injects x_0=xs)
     rho = rho_ref[0]
@@ -181,6 +205,7 @@ def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     (A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = _perknot(
         nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
         rho, X, U, goals, x_tab, h_tab, dh_tab, I_tab,
+        wrap=wrap, tracking=tracking, q_cost=q_cost,
     )
     eye_x = ld.materialize(jnp.eye(nx, dtype=dtype)[:, :, None], n)
 
@@ -231,14 +256,20 @@ def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "qd_cost", "r_cost", "integrator_type", "gravity",
-                     "hessian", "precond", "interpret"),
+                     "hessian", "precond", "wrap", "tracking", "q_cost",
+                     "interpret"),
 )
 def form_kkt_schur_pallas(model: RobotModel, X, U, goals, xs, rho,
                           dt: float, qd_cost: float, r_cost: float,
                           integrator_type: int = 0, gravity: float = 0.0,
                           hessian: str = "reference", precond: bool = True,
+                          wrap: bool = False, tracking: str = "eepos",
+                          q_cost: float = 1.0,
                           interpret: bool = None) -> LaneSchur:
-    """X (N, nx), U (N-1, nu) -> lane-layout Schur system."""
+    """X (N, nx), U (N-1, nu) -> lane-layout Schur system.
+
+    goals is the (N, >=3) end-effector trace for tracking="eepos", or the
+    (N, nx) reference state trajectory for tracking="joint"."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, nx = X.shape
@@ -248,11 +279,12 @@ def form_kkt_schur_pallas(model: RobotModel, X, U, goals, xs, rho,
 
     Xl = X.T
     Ul = jnp.concatenate([U, jnp.zeros((1, nu), U.dtype)]).T
-    goals_l = goals[:, :3].T
+    goals_l = goals.T if tracking == "joint" else goals[:, :3].T
 
     kern = functools.partial(
         _kernel, nq, nu, float(dt), float(qd_cost), float(r_cost),
         int(integrator_type), float(gravity), str(hessian), bool(precond),
+        bool(wrap), str(tracking), float(q_cost),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -281,6 +313,7 @@ def form_kkt_schur_pallas(model: RobotModel, X, U, goals, xs, rho,
 
 def _tile_kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
                  integrator_type: int, gravity: float, hessian: str,
+                 wrap: bool, tracking: str, q_cost: float,
                  rho_ref, x_ref, u_ref, goals_ref,
                  hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
                  a_o, b_o, f_o, qinv_o, rinv_o, qg_o, rg_o,
@@ -299,6 +332,7 @@ def _tile_kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
         nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
         rho_ref[0], x_ref[:], u_ref[:], goals_ref[:],
         x_tab, h_tab, dh_tab, i_ref[:],
+        wrap=wrap, tracking=tracking, q_cost=q_cost,
     )
     for ref, val in zip(
         (a_o, b_o, f_o, qinv_o, rinv_o, qg_o, rg_o, aqi_o, t_o, tvec_o,
@@ -319,12 +353,15 @@ _TILE = 128
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "qd_cost", "r_cost", "integrator_type", "gravity",
-                     "hessian", "precond", "interpret"),
+                     "hessian", "precond", "wrap", "tracking", "q_cost",
+                     "interpret"),
 )
 def form_kkt_schur_tiled(model: RobotModel, X, U, goals, xs, rho,
                          dt: float, qd_cost: float, r_cost: float,
                          integrator_type: int = 0, gravity: float = 0.0,
                          hessian: str = "reference", precond: bool = True,
+                         wrap: bool = False, tracking: str = "eepos",
+                         q_cost: float = 1.0,
                          interpret: bool = None) -> LaneSchur:
     """Long-horizon fused KKT+Schur: Pallas grid over 128-knot tiles.
 
@@ -349,11 +386,13 @@ def form_kkt_schur_tiled(model: RobotModel, X, U, goals, xs, rho,
 
     Xl = X.T
     Ul = jnp.concatenate([U, jnp.zeros((1, nu), U.dtype)]).T
-    goals_l = goals[:, :3].T
+    goals_l = goals.T if tracking == "joint" else goals[:, :3].T
+    g_dim = goals_l.shape[0]
 
     kern = functools.partial(
         _tile_kernel, nq, nu, float(dt), float(qd_cost), float(r_cost),
         int(integrator_type), float(gravity), str(hessian),
+        bool(wrap), str(tracking), float(q_cost),
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     rep = pl.BlockSpec(memory_space=pltpu.VMEM)     # whole array every tile
@@ -372,7 +411,7 @@ def form_kkt_schur_tiled(model: RobotModel, X, U, goals, xs, rho,
             sds((nx, nx, n), f32), sds((nx, nx, n), f32),
             sds((nx, n), f32), sds((nx, n), f32),
         ),
-        in_specs=[smem, vec(nx), vec(nu), vec(3)] + [rep] * 10,
+        in_specs=[smem, vec(nx), vec(nu), vec(g_dim)] + [rep] * 10,
         out_specs=(
             mat(nx, nx), mat(nx, nu), vec(nx),
             mat(nx, nx), mat(nu, nu), vec(nx), vec(nu),

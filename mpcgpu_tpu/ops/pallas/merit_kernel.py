@@ -28,13 +28,14 @@ from mpcgpu_tpu.ops.pallas import lanedyn
 
 def _merit_kernel(nq: int, dt: float, mu: float, qd_cost: float,
                   r_cost: float, integrator_type: int, gravity: float,
+                  wrap: bool, tracking: str, q_cost: float,
                   xc_ref, uc_ref, goals_ref, xs_ref, msk_last_ref, msk0_ref,
                   msk_valid_ref,
                   hx_c, hx_s, hx_k, xx_c, xx_s, xx_k, i_ref,
                   out_ref):
     Xc = xc_ref[:]                      # (nx, B) candidate states
     Uc = uc_ref[:]                      # (nu, B) candidate controls
-    goals = goals_ref[:]                # (3, B)
+    goals = goals_ref[:]                # (3, B) ee / (nx, B) joint refs
     xs = xs_ref[:]                      # (nx, 1)
     m_last = msk_last_ref[:]            # (1, B): 0 at k = N-1 lanes
     m0 = msk0_ref[:]                    # (1, B): 1 at k = 0 lanes
@@ -42,11 +43,18 @@ def _merit_kernel(nq: int, dt: float, mu: float, qd_cost: float,
 
     q, qd = Xc[:nq], Xc[nq:]
 
-    # tracking cost (iiwa_eepos_plant.cuh:242-290)
-    ee = lanedyn.fk_ee_xyz((hx_c[:], hx_s[:], hx_k[:]), q)
-    err = ee - goals
-    cost = 0.5 * lanedyn.row_sum(err * err)
-    cost += 0.5 * qd_cost * lanedyn.row_sum(qd * qd)
+    if tracking == "joint":
+        # joint-space tracking (iiwa_plant.cuh:40-332)
+        dq = q - goals[:nq]
+        dqd = qd - goals[nq:]
+        cost = 0.5 * q_cost * lanedyn.row_sum(dq * dq)
+        cost += 0.5 * qd_cost * lanedyn.row_sum(dqd * dqd)
+    else:
+        # tracking cost (iiwa_eepos_plant.cuh:242-290)
+        ee = lanedyn.fk_ee_xyz((hx_c[:], hx_s[:], hx_k[:]), q)
+        err = ee - goals
+        cost = 0.5 * lanedyn.row_sum(err * err)
+        cost += 0.5 * qd_cost * lanedyn.row_sum(qd * qd)
     cost += m_last * 0.5 * r_cost * lanedyn.row_sum(Uc * Uc)
 
     # dynamics defect (integrator.cuh:24-57 with ABA forward dynamics)
@@ -58,6 +66,10 @@ def _merit_kernel(nq: int, dt: float, mu: float, qd_cost: float,
     else:
         qdn = qd + dt * qdd
         qn = q + dt * qdn
+    if wrap:
+        from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import _wrap_lane
+
+        qn = _wrap_lane(qn)
     f = jnp.concatenate([qn, qdn], axis=0)
     x_next = pltpu.roll(Xc, Xc.shape[1] - 1, axis=1)  # lane b+1 -> b
     defect = lanedyn.row_sum(jnp.abs(x_next - f)) * m_last
@@ -71,14 +83,20 @@ def _merit_kernel(nq: int, dt: float, mu: float, qd_cost: float,
 @functools.partial(
     jax.jit,
     static_argnames=("num_alphas", "dt", "mu", "qd_cost", "r_cost",
-                     "integrator_type", "gravity", "interpret"),
+                     "integrator_type", "gravity", "wrap", "tracking",
+                     "q_cost", "interpret"),
 )
 def line_search_merits_pallas(model: RobotModel, X, U, dX, dU, num_alphas: int,
                               goals, xs, dt: float, mu: float, qd_cost: float,
                               r_cost: float, integrator_type: int = 0,
-                              gravity: float = 0.0, interpret: bool = None):
+                              gravity: float = 0.0, wrap: bool = False,
+                              tracking: str = "eepos", q_cost: float = 1.0,
+                              interpret: bool = None):
     """Merits of (X + a dX, U + a dU) for a = 1/2^i, i < num_alphas,
-    plus the merit of the unstepped (X, U) appended as the last entry."""
+    plus the merit of the unstepped (X, U) appended as the last entry.
+
+    goals: (N, >=3) ee trace for tracking="eepos", (N, nx) state refs for
+    tracking="joint"."""
     if interpret is None:  # run interpreted off-TPU (tests on CPU)
         interpret = jax.default_backend() != "tpu"
     n, nx = X.shape
@@ -98,7 +116,8 @@ def line_search_merits_pallas(model: RobotModel, X, U, dX, dU, num_alphas: int,
     Uc = (Upad[None] + alphas[:, None, None] * dUpad[None])
     Xc = Xc.transpose(2, 0, 1).reshape(nx, A * n)
     Uc = Uc.transpose(2, 0, 1).reshape(nu, A * n)
-    goals_rep = jnp.tile(goals[:, :3].T, (1, A))
+    goals_l = goals.T if tracking == "joint" else goals[:, :3].T
+    goals_rep = jnp.tile(goals_l, (1, A))
 
     k_idx = jnp.tile(jnp.arange(n), (A,))
     m_last = (k_idx < n - 1).astype(X.dtype)[None, :]
@@ -120,6 +139,7 @@ def line_search_merits_pallas(model: RobotModel, X, U, dX, dU, num_alphas: int,
     kern = functools.partial(
         _merit_kernel, nq, float(dt), float(mu), float(qd_cost),
         float(r_cost), int(integrator_type), float(gravity),
+        bool(wrap), str(tracking), float(q_cost),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     contrib = pl.pallas_call(

@@ -50,7 +50,8 @@ from mpcgpu_tpu.ops.pallas.pcg_kernel import _pcg_loop
 def _line_search(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
                  integrator_type: int, gravity: float, mu: float,
                  num_alphas: int, X, U, dX, dU, goals, xs,
-                 x_tab, h_tab, I_tab):
+                 x_tab, h_tab, I_tab, wrap: bool = False,
+                 tracking: str = "eepos", q_cost: float = 1.0):
     """8-alpha candidate merit evaluation, candidate-major lane batch
     b = a*N + k (common/merit.cuh semantics; the incumbent merit arrives
     from the previous iteration).  Returns (best_merit, best_alpha)."""
@@ -68,10 +69,16 @@ def _line_search(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     mc0 = (k_idx == 0).astype(dtype)
 
     q_c, qd_c = Xc[:nq], Xc[nq:]
-    ee = ld.fk_ee_xyz(h_tab, q_c)
-    e3 = ee - goals_c
-    cost = 0.5 * ld.row_sum(e3 * e3)
-    cost = cost + 0.5 * qd_cost * ld.row_sum(qd_c * qd_c)
+    if tracking == "joint":
+        dq_c = q_c - goals_c[:nq]
+        dqd_c = qd_c - goals_c[nq:]
+        cost = 0.5 * q_cost * ld.row_sum(dq_c * dq_c)
+        cost = cost + 0.5 * qd_cost * ld.row_sum(dqd_c * dqd_c)
+    else:
+        ee = ld.fk_ee_xyz(h_tab, q_c)
+        e3 = ee - goals_c
+        cost = 0.5 * ld.row_sum(e3 * e3)
+        cost = cost + 0.5 * qd_cost * ld.row_sum(qd_c * qd_c)
     cost = cost + mc_last * 0.5 * r_cost * ld.row_sum(Uc * Uc)
     qdd_c = ld.aba_qdd(x_tab, I_tab, q_c, qd_c, Uc, gravity)
     if integrator_type == 0:
@@ -80,6 +87,10 @@ def _line_search(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     else:
         qdn = qd_c + dt * qdd_c
         qn = q_c + dt * qdn
+    if wrap:
+        from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import _wrap_lane
+
+        qn = _wrap_lane(qn)
     f_c = jnp.concatenate([qn, qdn], axis=0)
     xc_next = pltpu.roll(Xc, Xc.shape[1] - 1, axis=1)
     defect = ld.row_sum(jnp.abs(xc_next - f_c)) * mc_last
@@ -124,6 +135,7 @@ def _mega_kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
                  integrator_type: int, gravity: float, hessian: str,
                  mu: float, num_alphas: int, rho_factor: float,
                  rho_min: float, rho_max: float, rho_reset: float,
+                 wrap: bool, tracking: str, q_cost: float,
                  rho_ref, drho_ref, merit_ref,
                  x_ref, u_ref, goals_ref, xs_ref,
                  hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
@@ -132,7 +144,7 @@ def _mega_kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     nx = 2 * nq
     X = x_ref[:]                  # (nx, N) lane layout
     U = u_ref[:]                  # (nu, N), lane N-1 zero
-    goals = goals_ref[:]          # (3, N)
+    goals = goals_ref[:]          # (3, N) ee / (nx, N) joint refs
     xs = xs_ref[:]                # (nx, 1)
     rho = rho_ref[0]
     drho = drho_ref[0]
@@ -149,6 +161,7 @@ def _mega_kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     (A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = _perknot(
         nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
         rho, X, U, goals, x_tab, h_tab, dh_tab, I_tab,
+        wrap=wrap, tracking=tracking, q_cost=q_cost,
     )
 
     # ---- cross-knot Schur assembly (kkt_schur_kernel._kernel, no Pinv:
@@ -177,6 +190,7 @@ def _mega_kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     best_merit, best_alpha = _line_search(
         nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, mu,
         num_alphas, X, U, dX, dU, goals, xs, x_tab, h_tab, I_tab,
+        wrap=wrap, tracking=tracking, q_cost=q_cost,
     )
     accept, step, rho_new, drho_new, merit_new, bail = _rho_schedule(
         rho, drho, merit_prev, best_merit, best_alpha,
@@ -197,6 +211,7 @@ def _mega_kernel_pcg(nq: int, nu: int, dt: float, qd_cost: float,
                      hessian: str, mu: float, num_alphas: int,
                      rho_factor: float, rho_min: float, rho_max: float,
                      rho_reset: float,
+                     wrap: bool, tracking: str, q_cost: float,
                      max_iter_ref, tol_ref, rho_ref, drho_ref, merit_ref,
                      x_ref, u_ref, goals_ref, xs_ref, lam0_ref,
                      hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
@@ -229,6 +244,7 @@ def _mega_kernel_pcg(nq: int, nu: int, dt: float, qd_cost: float,
     (A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = _perknot(
         nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
         rho, X, U, goals, x_tab, h_tab, dh_tab, I_tab,
+        wrap=wrap, tracking=tracking, q_cost=q_cost,
     )
 
     # ---- cross-knot Schur assembly (kkt_schur_kernel._kernel semantics)
@@ -268,6 +284,7 @@ def _mega_kernel_pcg(nq: int, nu: int, dt: float, qd_cost: float,
     best_merit, best_alpha = _line_search(
         nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, mu,
         num_alphas, X, U, dX, dU, goals, xs, x_tab, h_tab, I_tab,
+        wrap=wrap, tracking=tracking, q_cost=q_cost,
     )
     accept, step, rho_new, drho_new, merit_new, bail = _rho_schedule(
         rho, drho, merit_prev, best_merit, best_alpha,
@@ -287,16 +304,18 @@ def _mega_kernel_pcg(nq: int, nu: int, dt: float, qd_cost: float,
     jax.jit,
     static_argnames=("dt", "qd_cost", "r_cost", "integrator_type", "gravity",
                      "hessian", "mu", "num_alphas", "rho_factor", "rho_min",
-                     "rho_max", "rho_reset", "interpret"),
+                     "rho_max", "rho_reset", "wrap", "tracking", "q_cost",
+                     "interpret"),
 )
 def sqp_iter_mega(model: RobotModel, Xl, Ul, goals_l, xs, rho, drho, merit,
                   dt: float, qd_cost: float, r_cost: float,
                   integrator_type: int, gravity: float, hessian: str,
                   mu: float, num_alphas: int, rho_factor: float,
                   rho_min: float, rho_max: float, rho_reset: float,
-                  interpret: bool = None):
+                  wrap: bool = False, tracking: str = "eepos",
+                  q_cost: float = 1.0, interpret: bool = None):
     """One SQP iteration in lane layout: Xl (nx, N), Ul (nu, N; lane N-1
-    zero), goals_l (3, N), xs (nx,).  Returns
+    zero), goals_l ((3, N) ee / (nx, N) joint refs), xs (nx,).  Returns
     (Xl', Ul', lam_l, rho', drho', merit', accept, bail)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -308,7 +327,7 @@ def sqp_iter_mega(model: RobotModel, Xl, Ul, goals_l, xs, rho, drho, merit,
         _mega_kernel, nq, nu, float(dt), float(qd_cost), float(r_cost),
         int(integrator_type), float(gravity), str(hessian), float(mu),
         int(num_alphas), float(rho_factor), float(rho_min), float(rho_max),
-        float(rho_reset),
+        float(rho_reset), bool(wrap), str(tracking), float(q_cost),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -339,7 +358,8 @@ def sqp_iter_mega(model: RobotModel, Xl, Ul, goals_l, xs, rho, drho, merit,
     jax.jit,
     static_argnames=("dt", "qd_cost", "r_cost", "integrator_type", "gravity",
                      "hessian", "mu", "num_alphas", "rho_factor", "rho_min",
-                     "rho_max", "rho_reset", "interpret"),
+                     "rho_max", "rho_reset", "wrap", "tracking", "q_cost",
+                     "interpret"),
 )
 def sqp_iter_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
                       rho, drho, merit, max_iter, exit_tol,
@@ -347,12 +367,13 @@ def sqp_iter_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
                       integrator_type: int, gravity: float, hessian: str,
                       mu: float, num_alphas: int, rho_factor: float,
                       rho_min: float, rho_max: float, rho_reset: float,
-                      interpret: bool = None):
+                      wrap: bool = False, tracking: str = "eepos",
+                      q_cost: float = 1.0, interpret: bool = None):
     """One SQP iteration with the warm-started stair-PCG dual solve,
     fused end-to-end in one dispatch.  Xl (nx, N), Ul (nu, N; lane N-1
-    zero), goals_l (3, N), xs (nx,), lam0_l (nx, N) warm duals.  Returns
-    (Xl', Ul', lam_l, rho', drho', merit', accept, bail, pcg_iters,
-    hit_max)."""
+    zero), goals_l ((3, N) ee / (nx, N) joint refs), xs (nx,), lam0_l
+    (nx, N) warm duals.  Returns (Xl', Ul', lam_l, rho', drho', merit',
+    accept, bail, pcg_iters, hit_max)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nx, n = Xl.shape
@@ -363,7 +384,7 @@ def sqp_iter_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
         _mega_kernel_pcg, nq, nu, float(dt), float(qd_cost), float(r_cost),
         int(integrator_type), float(gravity), str(hessian), float(mu),
         int(num_alphas), float(rho_factor), float(rho_min), float(rho_max),
-        float(rho_reset),
+        float(rho_reset), bool(wrap), str(tracking), float(q_cost),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

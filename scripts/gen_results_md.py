@@ -34,9 +34,11 @@ def main():
                 break
     hs = load("results/round2/horizon_scaling.json")
     mb = load("results/stage_microbench_n64.json")
-    kr = load("results/kernel_regression_tpu.json")
+    kr = (load("results/round3/kernel_regression_tpu.json")
+          or load("results/kernel_regression_tpu.json"))
     ap = load("results/round2/all_pairs_oracle.json")
-    tap = load("results/round2/tpu_all_pairs.json")
+    tap3 = load("results/round3/tpu_all_pairs.json")
+    tap = tap3 or load("results/round2/tpu_all_pairs.json")
 
     L = []
     L.append("# Results (generated -- do not hand-edit)\n")
@@ -158,8 +160,19 @@ def main():
         L.append("")
 
     if tap:
-        L.append("## All-pairs full-trajectory tracking on TPU "
-                 "(results/round2/tpu_all_pairs.json)\n")
+        src = ("results/round3/tpu_all_pairs.json" if tap3
+               else "results/round2/tpu_all_pairs.json")
+        L.append(f"## All-pairs full-trajectory tracking on TPU ({src})\n")
+        if tap3:
+            L.append("Timing protocol: one compiled program for all pairs "
+                     "(padded fixtures + traced traj_len), warm pass then "
+                     "timed pass -- compile time excluded.\n")
+        else:
+            L.append("NOTE: the round-2 latency columns in this table are "
+                     "compile-contaminated (per-pair re-jits folded into "
+                     "wall clock); only the error columns are valid. "
+                     "Superseded once results/round3/tpu_all_pairs.json "
+                     "exists.\n")
         L.append("| pair | pcg err (m) | bcr err (m) | pcg us/upd | "
                  "bcr us/upd |")
         L.append("|---|---|---|---|---|")
@@ -170,24 +183,36 @@ def main():
                      f"{p.get('us_per_update')} | {b.get('us_per_update')} |")
         L.append("")
 
-    L.append("## Analysis (round 2)\n")
+    L.append("## Analysis (round 3 -- supersedes the round-2 reading)\n")
     L.append(
-        "- **Solver stability vs speed.** The exact block-cyclic-reduction "
-        "solve is 13x faster per solve than tuned PCG (13.6 vs ~160 us at "
-        "N=64) and short runs (64 updates) track as well or better -- but "
-        "256-update runs drift monotonically (0.005 -> 0.44 m tracking "
-        "error). Cause, established against an f64 oracle: cond(S) ~ 2.5e7 "
-        "and f32 cyclic reduction is not backward stable (residual stalls "
-        "at ~3e-3; iterative refinement beyond one pass makes the solution "
-        "worse). Its noise lives in S's near-null long-horizon modes, "
-        "invisible to the eta exit metric; warm-started Krylov iterations "
-        "(the reference's design) never excite those modes, which is why "
-        "PCG is stable at the same nominal residual. The `bcr_pcg` "
-        "hybrid (warm CG with the BCR solve as preconditioner) cuts the "
-        "drift ~5x but does not eliminate it (0.22 m avg at 256 updates, "
-        "both at 3 and 6 fixed iterations) -- the noise re-enters through "
-        "every preconditioner apply. Flagship stays `pcg`; `bcr`/"
-        "`bcr_pcg` serve single-solve and throughput studies.")
+        "- **Truncated vs exact duals (the corrected story; full data: "
+        "results/round3/outlier_1_0_diagnosis.json).** On pair 0_0, EVERY "
+        "exact-dual backend -- dense f32 solve, near-exact PCG (tol 1e-9, "
+        "cap 500), BCR, and bcr_pcg -- tracks at an identical 0.32 m avg "
+        "(agreement to 3 decimals), while the truncated cap-40 stair-PCG "
+        "tracks at 0.046 m. Round 2 attributed the exact solvers' 0.32 m "
+        "to f32 cyclic-reduction instability; the dense control run "
+        "refutes that: BCR matches the exact oracle everywhere. The real "
+        "mechanism is that EXACT duals produce full SQP steps that "
+        "overshoot in the rank-1-Hessian low-curvature landscape (a "
+        "0.45-0.5 m mid-trajectory hump with full recovery -- round 2's "
+        "256-update runs ended at the hump's peak and read it as "
+        "monotonic drift), while truncated warm-started Krylov acts as "
+        "beneficial step damping. Flagship stays `pcg` at the TPU-tuned "
+        "caps; `bcr`/`bcr_pcg` are the accuracy-floor backends.")
+    L.append(
+        "- **The 1_0 outlier (round-2 VERDICT weak #3) is resolved.** "
+        "Mechanism: pair 1_0's mid-trajectory produces Schur systems that "
+        "outrun the symmetric-stair preconditioner -- acceptable steps "
+        "need ~340 CG iterations/solve (8x the reference cap; no "
+        "practical cap/tolerance fixes it). The truncated solver's "
+        "rejected steps trigger rho bails every ~6 updates and the "
+        "tracking lag compounds to 0.96 m. Exact duals put the pair's "
+        "inherent floor at 0.30 m avg (it is simply a ~6x harder "
+        "trajectory), and the TPU-native `bcr_pcg` hybrid reaches that "
+        "floor at ~2.3 CG iterations/solve -- 150x cheaper than "
+        "stair-PCG -- with zero bails. Operational rule: a spiking "
+        "rho-bail rate is the online detector; fail over to `bcr_pcg`.")
     L.append(
         "- **The round-1 N=32-slower-than-N=64 inversion** is "
         "tolerance-bound, not size-bound: the reference-tuned 5e-6 exit "

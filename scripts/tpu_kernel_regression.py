@@ -181,6 +181,43 @@ def check_megakernel(model, X, U, lam, goals, xs, results, n):
     return ok
 
 
+def check_envelope_knobs(model, X, U, goals, xs, rho, results, n):
+    """Round-3 envelope closure: angle_wrap and joint-space tracking in
+    the fused KKT+Schur kernel must compile on hardware and match the
+    portable path (the two former NotImplementedError knobs)."""
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.ops.kkt import form_kkt
+    from mpcgpu_tpu.ops.schur import form_schur
+    from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import form_kkt_schur_pallas
+
+    # angle wrap: push q near pi so the reflection fires
+    Xw = X + jnp.concatenate(
+        [jnp.full((n, 7), 3.0, jnp.float32),
+         jnp.zeros((n, 7), jnp.float32)], axis=1)
+    kkt = form_kkt(model, Xw, U, goals, xs, 0.015625, 1e-4, 1e-3,
+                   angle_wrap=True)
+    sch = form_schur(kkt, rho, preconditioned=True)
+    ls = form_kkt_schur_pallas(model, Xw, U, goals, xs, rho, 0.015625,
+                               1e-4, 1e-3, wrap=True, interpret=False)
+    errs = {"wrap_gamma": _relerr(np.asarray(ls.gamma).T, sch.gamma)}
+
+    # joint-space tracking: recorded states as the reference
+    kkt_j = form_kkt(model, X, U, X, xs, 0.015625, 1e-4, 1e-3,
+                     tracking="joint", q_cost=2.0)
+    sch_j = form_schur(kkt_j, rho, preconditioned=True)
+    ls_j = form_kkt_schur_pallas(model, X, U, X, xs, rho, 0.015625,
+                                 1e-4, 1e-3, tracking="joint", q_cost=2.0,
+                                 interpret=False)
+    l2k = lambda a: np.transpose(np.asarray(a), (2, 0, 1))
+    errs["joint_gamma"] = _relerr(np.asarray(ls_j.gamma).T, sch_j.gamma)
+    errs["joint_theta"] = _relerr(l2k(ls_j.SD), sch_j.S.diag)
+
+    ok = all(e < 1e-3 for e in errs.values())
+    results[f"envelope_n{n}"] = {"ok": ok, **errs}
+    return ok
+
+
 def check_megakernel_pcg(model, X, U, lam, goals, xs, results, n):
     """The tracking-grade megakernel (warm-started stair-PCG fused with
     the whole iteration) must reproduce the staged fused-PCG path --
@@ -307,6 +344,11 @@ def main():
                     ("megakernel_pcg",
                      lambda: check_megakernel_pcg(model, X, U, lam, goals,
                                                   xs, results, n)))
+            if n == 32:
+                checks.append(
+                    ("envelope",
+                     lambda: check_envelope_knobs(model, X, U, goals, xs,
+                                                  rho, results, n)))
             for name, fn in checks:
                 try:
                     all_ok &= fn()
@@ -318,7 +360,7 @@ def main():
               f"{'OK' if all_ok else 'FAILURES (see json)'}")
         for key in (f"kkt_schur_n{n}", f"pcg_dz_n{n}", f"bcr_dz_n{n}",
                     f"merit_n{n}", f"megakernel_n{n}",
-                    f"megakernel_pcg_n{n}"):
+                    f"megakernel_pcg_n{n}", f"envelope_n{n}"):
             if key in results:
                 print(f"  {key}: {results[key]}")
         # checkpoint partial results so mid-run failures are inspectable

@@ -53,6 +53,61 @@ def test_kernel_matches_xla_pipeline(iiwa, traj_0_0):
     np.testing.assert_allclose(np.asarray(dU), np.asarray(dU_ref), **tol)
 
 
+def test_kernel_angle_wrap_matches_xla(iiwa, traj_0_0):
+    """ANGLE_WRAP in the fused kernel (round-3 envelope closure): affects
+    only the defect/gamma, exact reference semantics."""
+    X, U, goals, xs = _problem(iiwa, traj_0_0)
+    X = X + jnp.concatenate(  # push q near +-pi so the wrap triggers
+        [jnp.full((N, 7), 3.0, jnp.float32), jnp.zeros((N, 7), jnp.float32)],
+        axis=1)
+    kkt = form_kkt(iiwa, X, U, goals, xs, 0.015625, 1e-4, 1e-3,
+                   angle_wrap=True)
+    sd = form_schur(kkt, RHO)
+    ls = form_kkt_schur_pallas(
+        iiwa, X, U, goals, xs, RHO, 0.015625, 1e-4, 1e-3, wrap=True,
+        interpret=True)
+    ls_nowrap = form_kkt_schur_pallas(
+        iiwa, X, U, goals, xs, RHO, 0.015625, 1e-4, 1e-3, wrap=False,
+        interpret=True)
+
+    lane = lambda b: np.asarray(jnp.transpose(b, (2, 0, 1)))
+    # The shifted-q configuration makes SD entries O(800); compare
+    # norm-relative (like the hardware gate's _relerr) so f32
+    # cancellation noise in near-zero entries doesn't fail the check.
+    sd_ref = np.asarray(sd.S.diag)
+    assert np.abs(lane(ls.SD) - sd_ref).max() < 1e-3 * np.abs(sd_ref).max()
+    np.testing.assert_allclose(np.asarray(ls.gamma.T), np.asarray(sd.gamma),
+                               rtol=3e-3, atol=3e-3)
+    # the wrap must have actually fired (gamma differs from unwrapped)
+    assert not np.allclose(np.asarray(ls.gamma), np.asarray(ls_nowrap.gamma))
+    # and only the defect: the Schur blocks are untouched
+    np.testing.assert_array_equal(np.asarray(ls.SD), np.asarray(ls_nowrap.SD))
+
+
+def test_kernel_joint_tracking_matches_xla(iiwa, traj_0_0):
+    """Joint-space tracking in the fused kernel (round-3 envelope
+    closure): diagonal cost Hessian, state-reference gradient."""
+    xu, ee = traj_0_0
+    X, U, _, xs = _problem(iiwa, traj_0_0)
+    X_ref = jnp.asarray(xu[:N, :14])  # goals = recorded states
+    q_cost = 2.0
+    kkt = form_kkt(iiwa, X, U, X_ref, xs, 0.015625, 1e-4, 1e-3,
+                   tracking="joint", q_cost=q_cost)
+    sd = form_schur(kkt, RHO)
+    ls = form_kkt_schur_pallas(
+        iiwa, X, U, X_ref, xs, RHO, 0.015625, 1e-4, 1e-3,
+        tracking="joint", q_cost=q_cost, interpret=True)
+
+    tol = dict(rtol=3e-3, atol=3e-3)
+    lane = lambda b: np.asarray(jnp.transpose(b, (2, 0, 1)))
+    np.testing.assert_allclose(lane(ls.SD), np.asarray(sd.S.diag), **tol)
+    np.testing.assert_allclose(lane(ls.SL), np.asarray(sd.S.lower), **tol)
+    np.testing.assert_allclose(lane(ls.PD), np.asarray(sd.Pinv.diag), **tol)
+    np.testing.assert_allclose(np.asarray(ls.gamma.T), np.asarray(sd.gamma),
+                               **tol)
+    np.testing.assert_allclose(lane(ls.Qinv), np.asarray(sd.Qinv), **tol)
+
+
 def test_kernel_gauss_newton_and_noprecond(iiwa, traj_0_0):
     X, U, goals, xs = _problem(iiwa, traj_0_0)
     kkt = form_kkt(iiwa, X, U, goals, xs, 0.015625, 1e-4, 1e-3,
