@@ -211,6 +211,45 @@ def main():
         print(f"[loop {tag}] 1it {t1:.0f} us, 4it {t4:.0f} us -> marginal "
               f"{marg:.1f} us, base {t1 - marg:.0f} us")
 
+    # --- base decomposition: what the ~310 us non-SQP per-update cost
+    # is made of (round-3; informs whether rollout fusion or solve fixed
+    # overhead is the next latency lever) ---
+    from mpcgpu_tpu.ops.pallas.rollout_kernel import plant_rollout_pallas
+    from mpcgpu_tpu.sim import _mpc_update, _shift_horizon
+
+    cfg1 = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=1),
+                               pallas_stages=True)
+    max_sub = int(np.ceil(2000e-6 / cfg1.sim_step_time)) + 1
+
+    def rollout_step(x):
+        xs_new, err = plant_rollout_pallas(
+            model, x, U, goals[0], jnp.float32(0.0), jnp.float32(2000.0),
+            cfg1.timestep, cfg1.sim_step_time, max_sub, cfg1.gravity)
+        return x * 0.9999 + 1e-12 * xs_new
+
+    timed_scan(rollout_step, xs, args.iters, f"rollout_kernel_n{n}",
+               results)
+
+    def shift_step(carry):
+        Xc, Uc, Gc, Lc = carry
+        Xs, Us, Gs, Ls = _shift_horizon(Xc, Uc, Gc, Lc, xu_j, ee_j,
+                                        jnp.int32(5))
+        return (Xs * 0.9999, Us, Gs, Ls)
+
+    timed_scan(shift_step, (X, U, goals, lam), args.iters,
+               f"shift_n{n}", results)
+
+    def update_step(carry):
+        x, Xc, Uc, Gc, Lc = carry
+        xs_n, Xn, Un, Gn, Ln, err = _mpc_update(
+            model, cfg1, x, Xc, Uc, Gc, Lc, Uc, xu_j, ee_j,
+            jnp.int32(5), jnp.float32(0.0), jnp.float32(2000.0),
+            jnp.bool_(True), max_sub)
+        return (xs_n, Xn, Un, Gn, Ln)
+
+    timed_scan(update_step, (xs, X, U, goals, lam), args.iters,
+               f"mpc_update_nonsqp_n{n}", results)
+
     out = Path(args.out) if args.out else (
         REPO / "results" / f"stage_microbench_n{n}.json")
     out.parent.mkdir(parents=True, exist_ok=True)
