@@ -41,6 +41,9 @@ def main() -> int:
                     choices=["pcg", "bcr", "bcr_pcg", "pcg_pallas", "dense",
                              "qdldl"])
     ap.add_argument("--no-megakernel", action="store_true")
+    ap.add_argument("--mega-solve", action="store_true",
+                    help="whole-solve megakernel: all SQP iterations in one "
+                    "Pallas dispatch (requires megakernel engagement)")
     ap.add_argument("--sqp-max-iter", type=int, default=4)
     ap.add_argument("--pcg-max-iter", type=int, default=None)
     ap.add_argument("--pcg-exit-tol", type=float, default=None)
@@ -68,6 +71,7 @@ def main() -> int:
         SolverConfig.for_knots(n, sqp_max_iter=args.sqp_max_iter),
         pallas_stages=True,      # fused lane-batched stage kernels
         megakernel=not args.no_megakernel,
+        megakernel_solve=args.mega_solve,
     )
     if args.pcg_max_iter is not None:
         cfg = dataclasses.replace(
@@ -125,6 +129,9 @@ def main() -> int:
                     # actual engagement, not the config flag (the flag is
                     # ignored for combinations the megakernel doesn't cover)
                     "megakernel": megakernel_engages(cfg, linsys),
+                    "megakernel_solve": bool(
+                        megakernel_engages(cfg, linsys)
+                        and cfg.megakernel_solve and linsys == "pcg"),
                     "n_updates": n_updates,
                     "wall_us_total": round(wall_us, 0),
                     "avg_tracking_error_m": round(float(te.mean()), 4),

@@ -108,6 +108,14 @@ class SolverConfig:
     # power-of-2 N <= 128.  Off -> the three-kernel staged path.  Default
     # off until hardware-verified (scripts/tpu_kernel_regression.py).
     megakernel: bool = False
+    # With megakernel engaged on the "pcg" backend, additionally run ALL
+    # sqp_max_iter iterations inside ONE Pallas dispatch (in-kernel
+    # fori_loop with rho-bail masking): the iterate never round-trips
+    # HBM between SQP iterations and the per-iteration dispatch + XLA
+    # glue disappears.  Semantically identical to the while_loop over
+    # single-iteration megakernels (bail freezes the state).  Default
+    # off until hardware-verified (scripts/tpu_kernel_regression.py).
+    megakernel_solve: bool = False
 
     @property
     def jax_dtype(self):

@@ -206,39 +206,20 @@ def _mega_kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     bail_out[0] = bail.astype(jnp.int32)
 
 
-def _mega_kernel_pcg(nq: int, nu: int, dt: float, qd_cost: float,
-                     r_cost: float, integrator_type: int, gravity: float,
-                     hessian: str, mu: float, num_alphas: int,
-                     rho_factor: float, rho_min: float, rho_max: float,
-                     rho_reset: float,
-                     wrap: bool, tracking: str, q_cost: float,
-                     max_iter_ref, tol_ref, rho_ref, drho_ref, merit_ref,
-                     x_ref, u_ref, goals_ref, xs_ref, lam0_ref,
-                     hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
-                     x_out, u_out, lam_out,
-                     rho_out, drho_out, merit_out, accept_out, bail_out,
-                     iters_out, hit_out):
-    """The tracking-grade megakernel: stair-PCG dual solve instead of BCR.
+def _iteration_pcg(nq: int, nu: int, dt: float, qd_cost: float,
+                   r_cost: float, integrator_type: int, gravity: float,
+                   hessian: str, mu: float, num_alphas: int,
+                   rho_factor: float, rho_min: float, rho_max: float,
+                   rho_reset: float, wrap: bool, tracking: str, q_cost: float,
+                   X, U, goals, xs, lam0, rho, drho, merit_prev,
+                   max_iter, tol, x_tab, h_tab, dh_tab, I_tab):
+    """One full SQP iteration with the stair-PCG dual solve, as pure
+    lane-value math (no refs) -- shared by the single-iteration kernel
+    (_mega_kernel_pcg) and the whole-solve kernel (_solve_kernel_pcg).
 
-    Identical per-knot / cross-knot stages, plus the in-kernel stair
-    preconditioner (linsys_setup.cuh:11-49 semantics) and the warm-started
-    CG loop (_pcg_loop, the same routine the staged fused kernel runs)."""
-    nx = 2 * nq
-    X = x_ref[:]
-    U = u_ref[:]
-    goals = goals_ref[:]
-    xs = xs_ref[:]
-    lam0 = lam0_ref[:]
-    rho = rho_ref[0]
-    drho = drho_ref[0]
-    merit_prev = merit_ref[0]
+    Returns (X', U', lam, rho', drho', merit', accept, bail, iters, hit)."""
     n = X.shape[1]
     dtype = X.dtype
-
-    x_tab = (xc[:], xs_t[:], xk[:])
-    h_tab = (hc[:], hs[:], hk[:])
-    dh_tab = (dhc[:], dhs[:], dhk[:])
-    I_tab = i_ref[:]
 
     # ---- KKT linearization + per-knot Schur products
     (A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = _perknot(
@@ -269,9 +250,8 @@ def _mega_kernel_pcg(nq: int, nu: int, dt: float, qd_cost: float,
 
     # ---- warm-started CG dual solve (the staged kernel's _pcg_loop)
     lam, iters, eta = _pcg_loop(phi, theta, SU, PL, theta_inv, PU,
-                                gamma, lam0, max_iter_ref[0], tol_ref[0])
-    iters_out[0] = iters
-    hit_out[0] = (jnp.abs(eta) > tol_ref[0]).astype(jnp.int32)
+                                gamma, lam0, max_iter, tol)
+    hit = (jnp.abs(eta) > tol).astype(jnp.int32)
 
     # ---- primal recovery (common/dz.cuh:125 semantics)
     m_last = _lane_mask(n, 0, n - 1, dtype)
@@ -290,14 +270,128 @@ def _mega_kernel_pcg(nq: int, nu: int, dt: float, qd_cost: float,
         rho, drho, merit_prev, best_merit, best_alpha,
         rho_factor, rho_min, rho_max, rho_reset, dtype,
     )
-    x_out[:] = X + step * dX
-    u_out[:] = U + step * dU
+    return (X + step * dX, U + step * dU, lam, rho_new, drho_new,
+            merit_new, accept, bail, iters, hit)
+
+
+def _mega_kernel_pcg(nq: int, nu: int, dt: float, qd_cost: float,
+                     r_cost: float, integrator_type: int, gravity: float,
+                     hessian: str, mu: float, num_alphas: int,
+                     rho_factor: float, rho_min: float, rho_max: float,
+                     rho_reset: float,
+                     wrap: bool, tracking: str, q_cost: float,
+                     max_iter_ref, tol_ref, rho_ref, drho_ref, merit_ref,
+                     x_ref, u_ref, goals_ref, xs_ref, lam0_ref,
+                     hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
+                     x_out, u_out, lam_out,
+                     rho_out, drho_out, merit_out, accept_out, bail_out,
+                     iters_out, hit_out):
+    """The tracking-grade megakernel: stair-PCG dual solve instead of BCR.
+
+    Identical per-knot / cross-knot stages, plus the in-kernel stair
+    preconditioner (linsys_setup.cuh:11-49 semantics) and the warm-started
+    CG loop (_pcg_loop, the same routine the staged fused kernel runs)."""
+    x_tab = (xc[:], xs_t[:], xk[:])
+    h_tab = (hc[:], hs[:], hk[:])
+    dh_tab = (dhc[:], dhs[:], dhk[:])
+
+    (Xn, Un, lam, rho_new, drho_new, merit_new, accept, bail, iters,
+     hit) = _iteration_pcg(
+        nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
+        mu, num_alphas, rho_factor, rho_min, rho_max, rho_reset,
+        wrap, tracking, q_cost,
+        x_ref[:], u_ref[:], goals_ref[:], xs_ref[:], lam0_ref[:],
+        rho_ref[0], drho_ref[0], merit_ref[0],
+        max_iter_ref[0], tol_ref[0], x_tab, h_tab, dh_tab, i_ref[:],
+    )
+    x_out[:] = Xn
+    u_out[:] = Un
     lam_out[:] = lam
     rho_out[0] = rho_new
     drho_out[0] = drho_new
     merit_out[0] = merit_new
     accept_out[0] = accept.astype(jnp.int32)
     bail_out[0] = bail.astype(jnp.int32)
+    iters_out[0] = iters
+    hit_out[0] = hit
+
+
+_STATS_LANES = 128  # lane-width-padded per-iteration stats rows
+
+
+def _solve_kernel_pcg(nq: int, nu: int, n_sqp_iter: int, dt: float,
+                      qd_cost: float, r_cost: float, integrator_type: int,
+                      gravity: float, hessian: str, mu: float,
+                      num_alphas: int, rho_factor: float, rho_min: float,
+                      rho_max: float, rho_reset: float,
+                      wrap: bool, tracking: str, q_cost: float,
+                      max_iter_ref, tol_ref, rho_ref, drho_ref, merit_ref,
+                      x_ref, u_ref, goals_ref, xs_ref, lam0_ref,
+                      hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
+                      x_out, u_out, lam_out,
+                      rho_out, drho_out, merit_out, it_out, bailed_out,
+                      iters_out, hit_out, accept_out):
+    """The WHOLE SQP solve in one dispatch: an in-kernel fori_loop over
+    n_sqp_iter iterations of _iteration_pcg, with rho-bail masking (the
+    staged while_loop exits on bail; here the state freezes instead --
+    identical final state and stats).  The iterate, duals, and Schur
+    system never leave VMEM between SQP iterations.
+
+    Per-iteration stats (pcg iters / hit-max / accepted) accumulate into
+    (1, _STATS_LANES) rows via iota masks -- Mosaic has no scatter."""
+    x_tab = (xc[:], xs_t[:], xk[:])
+    h_tab = (hc[:], hs[:], hk[:])
+    dh_tab = (dhc[:], dhs[:], dhk[:])
+    I_tab = i_ref[:]
+    goals = goals_ref[:]
+    xs = xs_ref[:]
+    max_iter = max_iter_ref[0]
+    tol = tol_ref[0]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _STATS_LANES), 1)
+
+    def body(i, carry):
+        (X, U, lam, rho, drho, merit, done, itc,
+         iters_v, hit_v, acc_v) = carry
+        (Xn, Un, lamn, rhon, drhon, meritn, accept, bail, iters,
+         hit) = _iteration_pcg(
+            nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
+            mu, num_alphas, rho_factor, rho_min, rho_max, rho_reset,
+            wrap, tracking, q_cost,
+            X, U, goals, xs, lam, rho, drho, merit,
+            max_iter, tol, x_tab, h_tab, dh_tab, I_tab,
+        )
+        live = jnp.logical_not(done)
+        livef = live.astype(X.dtype)
+        sel = lambda new, old: jnp.where(live, new, old)
+        slot = jnp.logical_and(slot_iota == i, live)
+        return (
+            sel(Xn, X), sel(Un, U), sel(lamn, lam),
+            sel(rhon, rho), sel(drhon, drho), sel(meritn, merit),
+            jnp.logical_or(done, bail), itc + live.astype(jnp.int32),
+            jnp.where(slot, iters, iters_v),
+            jnp.where(slot, hit, hit_v),
+            jnp.where(slot, accept.astype(jnp.int32), acc_v),
+        )
+
+    neg1 = jnp.full((1, _STATS_LANES), -1, jnp.int32)
+    zero = jnp.zeros((1, _STATS_LANES), jnp.int32)
+    init = (x_ref[:], u_ref[:], lam0_ref[:],
+            rho_ref[0], drho_ref[0], merit_ref[0],
+            jnp.bool_(False), jnp.int32(0), neg1, zero, zero)
+    (X, U, lam, rho, drho, merit, done, itc,
+     iters_v, hit_v, acc_v) = jax.lax.fori_loop(0, n_sqp_iter, body, init)
+
+    x_out[:] = X
+    u_out[:] = U
+    lam_out[:] = lam
+    rho_out[0] = rho
+    drho_out[0] = drho
+    merit_out[0] = merit
+    it_out[0] = itc
+    bailed_out[0] = done.astype(jnp.int32)
+    iters_out[:] = iters_v
+    hit_out[:] = hit_v
+    accept_out[:] = acc_v
 
 
 @functools.partial(
@@ -413,3 +507,73 @@ def sqp_iter_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
     Xn, Un, lam_l, rho_n, drho_n, merit_n, acc, bail, iters, hit = outs
     return (Xn, Un, lam_l, rho_n[0], drho_n[0], merit_n[0],
             acc[0] != 0, bail[0] != 0, iters[0], hit[0] != 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sqp_iter", "dt", "qd_cost", "r_cost",
+                     "integrator_type", "gravity", "hessian", "mu",
+                     "num_alphas", "rho_factor", "rho_min", "rho_max",
+                     "rho_reset", "wrap", "tracking", "q_cost", "interpret"),
+)
+def sqp_solve_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
+                       rho, drho, merit0, max_iter, exit_tol,
+                       n_sqp_iter: int,
+                       dt: float, qd_cost: float, r_cost: float,
+                       integrator_type: int, gravity: float, hessian: str,
+                       mu: float, num_alphas: int, rho_factor: float,
+                       rho_min: float, rho_max: float, rho_reset: float,
+                       wrap: bool = False, tracking: str = "eepos",
+                       q_cost: float = 1.0, interpret: bool = None):
+    """The whole SQP solve (up to n_sqp_iter iterations, rho-bail exit)
+    in ONE Pallas dispatch.  Same lane layout as sqp_iter_mega_pcg;
+    merit0 is the incumbent merit of (Xl, Ul) (computed by the caller,
+    same provenance as the staged loop's merit_of).  Returns
+    (Xl', Ul', lam_l, rho', drho', merit', sqp_iters, bailed,
+    pcg_iters (n_sqp_iter,), hit_max (n_sqp_iter,), accepted (n_sqp_iter,))."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert n_sqp_iter <= _STATS_LANES
+    nx, n = Xl.shape
+    nu = Ul.shape[0]
+    nq = nx // 2
+    f32 = Xl.dtype
+    kern = functools.partial(
+        _solve_kernel_pcg, nq, nu, int(n_sqp_iter), float(dt),
+        float(qd_cost), float(r_cost), int(integrator_type), float(gravity),
+        str(hessian), float(mu), int(num_alphas), float(rho_factor),
+        float(rho_min), float(rho_max), float(rho_reset), bool(wrap),
+        str(tracking), float(q_cost),
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    sds = jax.ShapeDtypeStruct
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            sds((nx, n), f32), sds((nu, n), f32), sds((nx, n), f32),
+            sds((1,), f32), sds((1,), f32), sds((1,), f32),
+            sds((1,), jnp.int32), sds((1,), jnp.int32),
+            sds((1, _STATS_LANES), jnp.int32),
+            sds((1, _STATS_LANES), jnp.int32),
+            sds((1, _STATS_LANES), jnp.int32),
+        ),
+        in_specs=[smem] * 5 + [vmem] * 15,
+        out_specs=(vmem, vmem, vmem, smem, smem, smem, smem, smem,
+                   vmem, vmem, vmem),
+        interpret=interpret,
+    )(
+        jnp.asarray(max_iter, jnp.int32).reshape(1),
+        jnp.asarray(exit_tol, f32).reshape(1),
+        jnp.asarray(rho, f32).reshape(1), jnp.asarray(drho, f32).reshape(1),
+        jnp.asarray(merit0, f32).reshape(1),
+        Xl, Ul, goals_l, xs[:, None], lam0_l,
+        model.Hc, model.Hs, model.Hk, model.dHc, model.dHs, model.dHk,
+        model.Xc, model.Xs, model.Xk, model.I,
+    )
+    (Xn, Un, lam_l, rho_n, drho_n, merit_n, itc, bailed,
+     iters_v, hit_v, acc_v) = outs
+    k = n_sqp_iter
+    return (Xn, Un, lam_l, rho_n[0], drho_n[0], merit_n[0],
+            itc[0], bailed[0] != 0,
+            iters_v[0, :k], hit_v[0, :k] != 0, acc_v[0, :k] != 0)

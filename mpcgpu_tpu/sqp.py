@@ -216,6 +216,32 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
 
     merit0 = merit_of(X, U)
 
+    if use_megakernel and linsys == "pcg" and cfg.megakernel_solve:
+        # whole-solve megakernel: every SQP iteration in ONE dispatch,
+        # the iterate never round-tripping HBM between iterations
+        from mpcgpu_tpu.ops.pallas.sqp_megakernel import sqp_solve_mega_pcg
+
+        goals_l = (goals.T if cfg.cost.tracking == "joint"
+                   else goals[:, :3].T)
+        Ul = jnp.concatenate([U, jnp.zeros((1, cfg.nu), U.dtype)]).T
+        (Xn_l, Un_l, lam_l, rho_n, _drho, merit_n, itc, bailed,
+         pcg_iters, hit_max, accepted) = sqp_solve_mega_pcg(
+            model, X.T, Ul, goals_l, xs, lam.T,
+            jnp.asarray(rho, X.dtype), jnp.asarray(1.0, X.dtype), merit0,
+            cfg.pcg.max_iter, pcg_exit_tol, n_iter,
+            cfg.timestep, cfg.cost.qd_cost, cfg.cost.r_cost,
+            cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
+            cfg.merit_mu, cfg.num_alphas, cfg.rho_factor, cfg.rho_min,
+            cfg.rho_max, cfg.rho_reset, cfg.angle_wrap,
+            cfg.cost.tracking, cfg.cost.q_cost,
+        )
+        stats = SQPStats(
+            pcg_iters=pcg_iters, pcg_hit_max=hit_max, accepted=accepted,
+            sqp_iters=itc, rho_bailed=bailed, final_merit=merit_n,
+        )
+        return SQPResult(X=Xn_l.T, U=Un_l.T[:-1], lam=lam_l.T,
+                         rho=rho_n, stats=stats)
+
     def cond(st: _LoopState):
         return jnp.logical_and(st.it < n_iter, jnp.logical_not(st.done))
 

@@ -262,6 +262,53 @@ def check_megakernel_pcg(model, X, U, lam, goals, xs, results, n):
     return ok
 
 
+def check_megakernel_solve(model, X, U, lam, goals, xs, results, n):
+    """The whole-solve megakernel (all SQP iterations in ONE dispatch,
+    in-kernel fori_loop with rho-bail masking) must reproduce the
+    while_loop over single-iteration megakernels exactly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.sqp import sqp_solve
+
+    base = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=4),
+                               pallas_stages=True, megakernel=True)
+    rng = np.random.default_rng(5)
+    Xp = jnp.asarray(np.asarray(X) + 0.02 * rng.normal(size=X.shape),
+                     jnp.float32)
+    rho = jnp.asarray(1e-3, jnp.float32)
+    tol = jnp.asarray(1e-6, jnp.float32)
+    rw = sqp_solve(model, dataclasses.replace(base, megakernel_solve=True),
+                   Xp, U, lam, goals, xs, rho, tol, "pcg")
+    ri = sqp_solve(model, base, Xp, U, lam, goals, xs, rho, tol, "pcg")
+    errs = {
+        # loop-context compilation reassociates f32 differently than the
+        # standalone iteration kernel: expect ~1e-5 agreement + identical
+        # decisions, not bitwise equality
+        "x": _relerr(rw.X, ri.X),
+        "u": _relerr(rw.U, ri.U),
+        "lam": _relerr(rw.lam, ri.lam),
+        "merit": abs(float(rw.stats.final_merit)
+                     - float(ri.stats.final_merit))
+        / max(abs(float(ri.stats.final_merit)), 1e-9),
+        "sqp_iters_match": int(rw.stats.sqp_iters) == int(ri.stats.sqp_iters),
+        "accept_match": bool(
+            (np.asarray(rw.stats.accepted) == np.asarray(ri.stats.accepted))
+            .all()),
+        "pcg_iters_match": bool(
+            (np.asarray(rw.stats.pcg_iters) == np.asarray(ri.stats.pcg_iters))
+            .all()),
+    }
+    ok = (errs["x"] < 1e-3 and errs["u"] < 1e-3 and errs["lam"] < 1e-2
+          and errs["merit"] < 1e-3
+          and errs["sqp_iters_match"] and errs["accept_match"]
+          and errs["pcg_iters_match"])
+    results[f"megakernel_solve_n{n}"] = {"ok": ok, **errs}
+    return ok
+
+
 def check_rollout(model, X, U, goals, results):
     import jax.numpy as jnp
 
@@ -288,6 +335,8 @@ def main():
     ap.add_argument("--ns", type=int, nargs="*",
                     default=[32, 64, 128, 256, 512])
     ap.add_argument("--out", default=None)
+    ap.add_argument("--checks", nargs="*", default=None,
+                    help="run only these named checks (e.g. megakernel_solve)")
     args = ap.parse_args()
 
     import jax
@@ -344,11 +393,17 @@ def main():
                     ("megakernel_pcg",
                      lambda: check_megakernel_pcg(model, X, U, lam, goals,
                                                   xs, results, n)))
+                checks.append(
+                    ("megakernel_solve",
+                     lambda: check_megakernel_solve(model, X, U, lam, goals,
+                                                    xs, results, n)))
             if n == 32:
                 checks.append(
                     ("envelope",
                      lambda: check_envelope_knobs(model, X, U, goals, xs,
                                                   rho, results, n)))
+            if args.checks is not None:
+                checks = [(nm, f) for nm, f in checks if nm in args.checks]
             for name, fn in checks:
                 try:
                     all_ok &= fn()
@@ -360,7 +415,8 @@ def main():
               f"{'OK' if all_ok else 'FAILURES (see json)'}")
         for key in (f"kkt_schur_n{n}", f"pcg_dz_n{n}", f"bcr_dz_n{n}",
                     f"merit_n{n}", f"megakernel_n{n}",
-                    f"megakernel_pcg_n{n}", f"envelope_n{n}"):
+                    f"megakernel_pcg_n{n}", f"megakernel_solve_n{n}",
+                    f"envelope_n{n}"):
             if key in results:
                 print(f"  {key}: {results[key]}")
         # checkpoint partial results so mid-run failures are inspectable
@@ -370,8 +426,9 @@ def main():
         out.write_text(json.dumps(results, indent=1))
 
     try:
-        model, (X, U, lam, goals, xs) = g._problem(32)
-        all_ok &= check_rollout(model, X, U, goals, results)
+        if args.checks is None or "rollout" in args.checks:
+            model, (X, U, lam, goals, xs) = g._problem(32)
+            all_ok &= check_rollout(model, X, U, goals, results)
     except Exception:
         results["rollout"] = {"ok": False,
                               "error": traceback.format_exc()[-800:]}
