@@ -19,8 +19,12 @@ def load(p):
 
 
 def main():
-    bench = None
+    # prefer a bench archived this round (raw bench.py JSON) over the
+    # driver's end-of-PREVIOUS-round snapshot
+    bench = load("results/round3/bench_flagship.json")
     for r in range(9, 0, -1):
+        if bench:
+            break
         b = load(f"BENCH_r{r:02d}.json")
         if b:
             # driver format: the JSON line is the last line of "tail"
@@ -33,7 +37,8 @@ def main():
             if bench:
                 break
     hs = load("results/round2/horizon_scaling.json")
-    mb = load("results/stage_microbench_n64.json")
+    mb = (load("results/round3/stage_microbench_n64.json")
+          or load("results/stage_microbench_n64.json"))
     kr = (load("results/round3/kernel_regression_tpu.json")
           or load("results/kernel_regression_tpu.json"))
     ap = load("results/round2/all_pairs_oracle.json")
