@@ -40,7 +40,10 @@ def main() -> int:
     ap.add_argument("--linsys", default="pcg",
                     choices=["pcg", "bcr", "bcr_pcg", "pcg_pallas", "dense",
                              "qdldl"])
-    ap.add_argument("--no-megakernel", action="store_true")
+    ap.add_argument("--megakernel", action="store_true",
+                    help="iteration-scope megakernel (default off: the "
+                    "staged path is faster for pcg -- CG dominates and the "
+                    "dedicated PCG kernel has the cheaper CG iteration)")
     ap.add_argument("--mega-solve", action="store_true",
                     help="whole-solve megakernel: all SQP iterations in one "
                     "Pallas dispatch (requires megakernel engagement)")
@@ -70,7 +73,7 @@ def main() -> int:
     cfg = dataclasses.replace(
         SolverConfig.for_knots(n, sqp_max_iter=args.sqp_max_iter),
         pallas_stages=True,      # fused lane-batched stage kernels
-        megakernel=not args.no_megakernel,
+        megakernel=args.megakernel or args.mega_solve,
         megakernel_solve=args.mega_solve,
     )
     if args.pcg_max_iter is not None:
@@ -107,13 +110,16 @@ def main() -> int:
     errs = np.asarray(out["tracking_errors"])
     shifted = np.asarray(out["shifted"])
 
-    # timed pass: one dispatch, hard-synced by the result fetch
-    t0 = time.perf_counter()
-    out = simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam, rho, tol,
-                            n_updates, linsys)
-    _ = np.asarray(out["tracking_errors"])
-    wall_us = (time.perf_counter() - t0) * 1e6
-    per_update = wall_us / n_updates
+    # timed: pipelined-dispatch slope (utils/benchtime.py) -- the remote
+    # attachment's ~30 ms dispatch+fetch constant cancels between the m=1
+    # and m=4 measurements, leaving pure device time per control update.
+    from mpcgpu_tpu.utils.benchtime import pipelined_slope_us
+
+    per_update, dispatch_const_us, _, wall_us = pipelined_slope_us(
+        lambda: simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam, rho,
+                                  tol, n_updates, linsys),
+        lambda o: np.asarray(o["tracking_errors"]),
+        n_updates)
 
     te = errs[shifted]
     print(
@@ -133,7 +139,8 @@ def main() -> int:
                         megakernel_engages(cfg, linsys)
                         and cfg.megakernel_solve and linsys == "pcg"),
                     "n_updates": n_updates,
-                    "wall_us_total": round(wall_us, 0),
+                    "wall_us_m4_dispatches": round(wall_us, 0),
+                    "dispatch_const_us": round(dispatch_const_us, 0),
                     "avg_tracking_error_m": round(float(te.mean()), 4),
                     "max_tracking_error_m": round(float(te.max()), 4),
                     "avg_sqp_iters": round(float(np.asarray(out["sqp_iters"]).mean()), 2),

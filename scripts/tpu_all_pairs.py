@@ -12,9 +12,10 @@ Timing protocol (round-3 fix of VERDICT weak #2): every fixture is
 padded to ONE static trajectory shape with the true length passed as a
 traced scalar (sim.simulate_mpc_scan traj_len), so a single compiled
 program serves all 21 pairs and all solvers; each (pair, solver) then
-runs an untimed warm pass followed by a timed pass -- compile time never
-touches the latency column (the reference's warm-up-then-measure
-protocol, include/mpcsim.cuh:259-279).
+runs an untimed warm pass followed by pipelined-dispatch slope timing
+(utils/benchtime.py) -- neither compile time nor the remote attachment's
+~30 ms dispatch+fetch constant touches the latency column (the
+reference's warm-up-then-measure protocol, include/mpcsim.cuh:259-279).
 
     python scripts/tpu_all_pairs.py [--knots 64] [--linsys pcg bcr]
 
@@ -73,7 +74,9 @@ def main():
                "megakernel": {ls: megakernel_engages(cfg, ls)
                               for ls in args.linsys},
                "timing_protocol": "one static shape for all pairs "
-               "(padded + traced traj_len); warm pass then timed pass",
+               "(padded + traced traj_len); pipelined-dispatch slope "
+               "(utils/benchtime.py) excludes compile AND the remote "
+               "attachment's dispatch+fetch constant",
                "eepos_provenance": "0_0 reference-recorded; others FK-"
                "synthesized (utils/trajfiles.py)",
                "rows": {}}
@@ -116,13 +119,17 @@ def main():
                                   jnp.asarray(1e-3, jnp.float32), tol,
                                   args.updates, linsys, tlen)
             errs = np.asarray(o["tracking_errors"])  # hard sync
-            # timed pass: pure device time
-            t0 = time.perf_counter()
-            o2 = simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, res.lam,
-                                   jnp.asarray(1e-3, jnp.float32), tol,
-                                   args.updates, linsys, tlen)
-            np.asarray(o2["tracking_errors"])
-            wall = time.perf_counter() - t0
+            # timed: pipelined-dispatch slope -- cancels the remote
+            # attachment's ~30 ms dispatch+fetch constant
+            from mpcgpu_tpu.utils.benchtime import pipelined_slope_us
+
+            per_update, _, _, _ = pipelined_slope_us(
+                lambda: simulate_mpc_scan(
+                    model, cfg, xu_j, ee_j, X, U, res.lam,
+                    jnp.asarray(1e-3, jnp.float32), tol,
+                    args.updates, linsys, tlen),
+                lambda o_: np.asarray(o_["tracking_errors"]),
+                args.updates, repeats=2)
             shifted = np.asarray(o["shifted"])
             te = errs[shifted] if shifted.any() else errs
             row[linsys] = {
@@ -132,7 +139,7 @@ def main():
                     float(np.asarray(o["sqp_iters"]).mean()), 2),
                 "avg_pcg_iters_per_update": round(
                     float(np.asarray(o["pcg_iters_total"]).mean()), 1),
-                "us_per_update": round(wall * 1e6 / args.updates, 1),
+                "us_per_update": round(per_update, 1),
             }
         if all(s in row for s in ("pcg", "bcr")):
             b = row["bcr"]["avg_tracking_error_m"]

@@ -27,7 +27,8 @@ sys.path.insert(0, str(REPO))
 import numpy as np  # noqa: E402
 
 
-def run_config(n: int, linsys: str, n_updates: int, pcg_max_iter=None):
+def run_config(n: int, linsys: str, n_updates: int, pcg_max_iter=None,
+               tuned_caps=False):
     import jax
     import jax.numpy as jnp
 
@@ -41,6 +42,10 @@ def run_config(n: int, linsys: str, n_updates: int, pcg_max_iter=None):
     xu, ee = load_fixture_pair(fixtures, 0, 0)
     cfg = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=4),
                               pallas_stages=True)
+    if tuned_caps and pcg_max_iter is None and linsys == "pcg":
+        from mpcgpu_tpu.config import PCGConfig
+
+        pcg_max_iter = PCGConfig.tpu_tuned_max_iter(n)
     if pcg_max_iter is not None:
         cfg = dataclasses.replace(
             cfg, pcg=dataclasses.replace(cfg.pcg, max_iter=pcg_max_iter))
@@ -69,16 +74,21 @@ def run_config(n: int, linsys: str, n_updates: int, pcg_max_iter=None):
     errs = np.asarray(out["tracking_errors"])
     compile_s = time.perf_counter() - t_c0
 
-    t0 = time.perf_counter()
-    out = simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam, rho, tol,
-                            n_updates, linsys)
-    errs = np.asarray(out["tracking_errors"])
-    wall_us = (time.perf_counter() - t0) * 1e6
+    # pipelined-dispatch slope: cancels the remote attachment's ~30 ms
+    # dispatch+fetch constant (utils/benchtime.py)
+    from mpcgpu_tpu.utils.benchtime import pipelined_slope_us
+
+    per_update, const_us, _, _ = pipelined_slope_us(
+        lambda: simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam, rho,
+                                  tol, n_updates, linsys),
+        lambda o: np.asarray(o["tracking_errors"]),
+        n_updates)
 
     shifted = np.asarray(out["shifted"])
     te = errs[shifted] if shifted.any() else errs
     return {
-        "us_per_update": round(wall_us / n_updates, 1),
+        "us_per_update": round(per_update, 1),
+        "dispatch_const_us": round(const_us, 0),
         "avg_tracking_error_m": round(float(te.mean()), 4),
         "max_tracking_error_m": round(float(te.max()), 4),
         "avg_sqp_iters": round(float(np.asarray(out["sqp_iters"]).mean()), 2),
@@ -96,7 +106,10 @@ def main():
     ap.add_argument("--updates", type=int, default=64)
     ap.add_argument("--linsys", nargs="*", default=["pcg", "bcr"])
     ap.add_argument("--pcg-max-iter", type=int, default=None)
+    ap.add_argument("--tuned-caps", action="store_true",
+                    help="use PCGConfig.tpu_tuned_max_iter(n) per horizon")
     ap.add_argument("--out-name", default="horizon_scaling.json")
+    ap.add_argument("--out-dir", default="round3")
     args = ap.parse_args()
 
     import jax
@@ -112,13 +125,13 @@ def main():
             t0 = time.time()
             try:
                 row = run_config(n, linsys, args.updates,
-                                 args.pcg_max_iter)
+                                 args.pcg_max_iter, args.tuned_caps)
             except Exception as e:  # archive the failure, keep sweeping
                 row = {"error": repr(e)[:300]}
             results["rows"][key] = row
             print(f"{key}: {row} ({time.time() - t0:.0f}s incl. compile)",
                   flush=True)
-            out = REPO / "results" / "round2" / args.out_name
+            out = REPO / "results" / args.out_dir / args.out_name
             out.parent.mkdir(parents=True, exist_ok=True)
             out.write_text(json.dumps(results, indent=1))
 
