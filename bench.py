@@ -50,6 +50,9 @@ def main() -> int:
     ap.add_argument("--sqp-max-iter", type=int, default=4)
     ap.add_argument("--pcg-max-iter", type=int, default=None)
     ap.add_argument("--pcg-exit-tol", type=float, default=None)
+    ap.add_argument("--pcg-check-every", type=int, default=None,
+                    help="chunked exit-tolerance checking in the fused "
+                    "PCG kernel (PCGConfig.exit_check_every)")
     args = ap.parse_args()
 
     import jax
@@ -79,6 +82,10 @@ def main() -> int:
     if args.pcg_max_iter is not None:
         cfg = dataclasses.replace(
             cfg, pcg=dataclasses.replace(cfg.pcg, max_iter=args.pcg_max_iter))
+    if args.pcg_check_every is not None:
+        cfg = dataclasses.replace(
+            cfg, pcg=dataclasses.replace(cfg.pcg,
+                                         exit_check_every=args.pcg_check_every))
 
     X, U, goals, xs = horizon_slices(xu, ee, n)
     X = jnp.asarray(X); U = jnp.asarray(U)
@@ -139,6 +146,8 @@ def main() -> int:
                         megakernel_engages(cfg, linsys)
                         and cfg.megakernel_solve and linsys == "pcg"),
                     "n_updates": n_updates,
+                    "pcg_max_iter": cfg.pcg.max_iter,
+                    "pcg_check_every": cfg.pcg.exit_check_every,
                     "wall_us_m4_dispatches": round(wall_us, 0),
                     "dispatch_const_us": round(dispatch_const_us, 0),
                     "avg_tracking_error_m": round(float(te.mean()), 4),

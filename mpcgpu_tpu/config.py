@@ -47,6 +47,14 @@ class PCGConfig:
     max_iter: int = 173
     exit_tol: float = 1e-5          # threshold on eta = r' Pinv r
     preconditioned: bool = True     # ENABLE_PRECONDITIONING ablation flag
+    # Evaluate the exit tolerance only every this many CG iterations in
+    # the fused Pallas kernel (inner fori_loop, outer while_loop).  The
+    # flagship hits its iteration cap on nearly every solve, so the
+    # per-iteration dynamic exit check is loop overhead; chunked exit may
+    # overrun the tolerance crossing by up to check-1 iterations (which
+    # only reduce the residual further) and rounds the effective cap down
+    # to a multiple.  1 = reference-exact exit semantics.
+    exit_check_every: int = 1
 
     @staticmethod
     def tuned_max_iter(knot_points: int) -> int:

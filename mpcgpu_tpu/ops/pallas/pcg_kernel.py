@@ -51,21 +51,26 @@ def _band_spmv(L, D, U, x):
     return acc
 
 
-def _pcg_loop(SL, SD, SU, PL, PD, PU, gamma, lam0, max_iter, tol):
+def _pcg_loop(SL, SD, SU, PL, PD, PU, gamma, lam0, max_iter, tol,
+              check_every: int = 1):
     """The CG loop itself, callable from any kernel that has the banded
     system + preconditioner in registers/VMEM (the PCG kernel below and
     the whole-iteration megakernel's polish stage).
+
+    check_every > 1 evaluates the exit tolerance only every that many
+    iterations (inner fori_loop, outer while_loop): the flagship runs at
+    iteration caps it hits almost every solve, so the per-iteration
+    dynamic exit check is nearly pure loop overhead.  Chunked exit may
+    run up to check_every - 1 extra CG iterations past the tolerance
+    crossing (extra iterations only reduce the residual further); the
+    effective cap rounds down to a multiple of check_every.
 
     Returns (lam, iters, eta)."""
     r0 = gamma - _band_spmv(SL, SD, SU, lam0)
     rt0 = _band_spmv(PL, PD, PU, r0)
     eta0 = jnp.sum(r0 * rt0)
 
-    def cond(carry):
-        _, _, _, eta, i = carry
-        return jnp.logical_and(i < max_iter, jnp.abs(eta) > tol)
-
-    def body(carry):
+    def step(carry):
         lam, r, p, eta, i = carry
         ups = _band_spmv(SL, SD, SU, p)
         alpha = eta / jnp.sum(p * ups)
@@ -76,27 +81,45 @@ def _pcg_loop(SL, SD, SU, PL, PD, PU, gamma, lam0, max_iter, tol):
         p = rt + (eta_new / eta) * p
         return lam, r, p, eta_new, i + 1
 
+    if check_every <= 1:
+        def cond(carry):
+            _, _, _, eta, i = carry
+            return jnp.logical_and(i < max_iter, jnp.abs(eta) > tol)
+
+        body = step
+    else:
+        def cond(carry):
+            _, _, _, eta, i = carry
+            return jnp.logical_and(i + check_every <= max_iter,
+                                   jnp.abs(eta) > tol)
+
+        def body(carry):
+            return jax.lax.fori_loop(0, check_every, lambda _, c: step(c),
+                                     carry)
+
     lam, r, p, eta, iters = jax.lax.while_loop(
         cond, body, (lam0, r0, rt0, eta0, jnp.int32(0))
     )
     return lam, iters, eta
 
 
-def _pcg_kernel(s: int, max_iter_ref, tol_ref,
+def _pcg_kernel(s: int, check_every: int, max_iter_ref, tol_ref,
                 sl_ref, sd_ref, su_ref, pl_ref, pd_ref, pu_ref,
                 gamma_ref, lam0_ref,
                 lam_out_ref, iters_ref, hit_ref):
     lam, iters, eta = _pcg_loop(
         sl_ref[:], sd_ref[:], su_ref[:], pl_ref[:], pd_ref[:], pu_ref[:],
-        gamma_ref[:], lam0_ref[:], max_iter_ref[0], tol_ref[0])
+        gamma_ref[:], lam0_ref[:], max_iter_ref[0], tol_ref[0],
+        check_every)
     lam_out_ref[:] = lam
     iters_ref[0] = iters
     hit_ref[0] = (jnp.abs(eta) > tol_ref[0]).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "check_every"))
 def pcg_pallas_lanes(SL, SD, SU, PL, PD, PU, gamma_l, lam0_l, max_iter,
-                     exit_tol, interpret: bool = None):
+                     exit_tol, interpret: bool = None,
+                     check_every: int = 1):
     """Lane-layout entry: bands (s,s,N), vectors (s,N) -- no transposes.
 
     Feeds directly from the fused KKT+Schur kernel's outputs.
@@ -109,7 +132,7 @@ def pcg_pallas_lanes(SL, SD, SU, PL, PD, PU, gamma_l, lam0_l, max_iter,
     smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     lam_t, iters, hit = pl.pallas_call(
-        functools.partial(_pcg_kernel, s),
+        functools.partial(_pcg_kernel, s, check_every),
         out_shape=(
             jax.ShapeDtypeStruct((s, n), f32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
@@ -189,7 +212,7 @@ def check_pcg_vmem_fit(knot_points: int, state_size: int,
     return need
 
 
-def _pcg_dz_kernel(s: int, nu: int, max_iter_ref, tol_ref,
+def _pcg_dz_kernel(s: int, nu: int, check_every: int, max_iter_ref, tol_ref,
                    sl_ref, sd_ref, su_ref, pl_ref, pd_ref, pu_ref,
                    gamma_ref, lam0_ref,
                    a_ref, b_ref, qg_ref, rg_ref, qinv_ref, rinv_ref,
@@ -200,8 +223,8 @@ def _pcg_dz_kernel(s: int, nu: int, max_iter_ref, tol_ref,
     kkt_schur_kernel.compute_dz_lanes)."""
     from mpcgpu_tpu.ops.pallas import lanedyn as ld
 
-    _pcg_kernel(s, max_iter_ref, tol_ref, sl_ref, sd_ref, su_ref,
-                pl_ref, pd_ref, pu_ref, gamma_ref, lam0_ref,
+    _pcg_kernel(s, check_every, max_iter_ref, tol_ref, sl_ref, sd_ref,
+                su_ref, pl_ref, pd_ref, pu_ref, gamma_ref, lam0_ref,
                 lam_out_ref, iters_ref, hit_ref)
     lam = lam_out_ref[:]
     n = lam.shape[1]
@@ -218,9 +241,9 @@ def _pcg_dz_kernel(s: int, nu: int, max_iter_ref, tol_ref,
     du_out_ref[:] = -ld.lane_matvec(rinv_ref[:], rg_ref[:] + Bt_lam)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "check_every"))
 def pcg_dz_pallas_lanes(ls, lam0_l, max_iter, exit_tol,
-                        interpret: bool = None):
+                        interpret: bool = None, check_every: int = 1):
     """Fused PCG + primal recovery from a LaneSchur system.
 
     Returns (lam (s,N), dX (N,s), dU (N-1,nu), iters, hit_max).
@@ -233,7 +256,7 @@ def pcg_dz_pallas_lanes(ls, lam0_l, max_iter, exit_tol,
     smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     lam_t, dx_t, du_t, iters, hit = pl.pallas_call(
-        functools.partial(_pcg_dz_kernel, s, nu),
+        functools.partial(_pcg_dz_kernel, s, nu, check_every),
         out_shape=(
             jax.ShapeDtypeStruct((s, n), f32),
             jax.ShapeDtypeStruct((s, n), f32),

@@ -329,6 +329,7 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
             else:
                 lam_l, dX, dU, pcg_it, hit_max = pcg_dz_pallas_lanes(
                     ls, st.lam.T, cfg.pcg.max_iter, pcg_exit_tol,
+                    check_every=cfg.pcg.exit_check_every,
                 )
             return lam_l.T, pcg_it, hit_max, dX, dU
         kkt = form_kkt(

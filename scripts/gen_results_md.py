@@ -36,7 +36,9 @@ def main():
                     continue
             if bench:
                 break
+    hs3 = load("results/round3/horizon_scaling_tuned.json")
     hs = load("results/round2/horizon_scaling.json")
+    pc = load("results/round3/pcg_cost_n64.json")
     mb = (load("results/round3/stage_microbench_n64.json")
           or load("results/stage_microbench_n64.json"))
     kr = (load("results/round3/kernel_regression_tpu.json")
@@ -65,8 +67,45 @@ def main():
                      f"avg SQP iters {det.get('avg_sqp_iters')}")
         L.append("")
 
+    if hs3:
+        L.append("## Horizon scaling, TPU-tuned caps, honest protocol "
+                 "(results/round3/horizon_scaling_tuned.json)\n")
+        L.append("Pipelined-dispatch slope timing (utils/benchtime.py): "
+                 "pure device time per control update; the remote "
+                 "attachment's ~30 ms dispatch+fetch constant is excluded "
+                 "(round-2 tables folded it in at ~30ms/64 updates = "
+                 "~470 us/update of inflation).\n")
+        L.append("| N | solver | us/update | vs 2 ms budget | avg err (m) "
+                 "| avg PCG iters/update |")
+        L.append("|---|---|---|---|---|---|")
+        for key, row in hs3.get("rows", {}).items():
+            if "error" in row:
+                L.append(f"| {key} | | ERROR: {row['error'][:60]} | | | |")
+                continue
+            n_, solver = key.replace("n", "", 1).split("_", 1)
+            us = row["us_per_update"]
+            L.append(f"| {n_} | {solver} | {us} | {2000.0 / us:.2f}x | "
+                     f"{row['avg_tracking_error_m']} | "
+                     f"{row['avg_pcg_iters_per_update']} |")
+        L.append("")
+
+    if pc:
+        L.append("## Fused PCG+dz kernel cost decomposition, N=64 "
+                 "(results/round3/pcg_cost_n64.json)\n")
+        for ck in ("check1", "check8"):
+            d_ = pc.get(ck)
+            if d_:
+                L.append(f"- exit_check_every={ck[5:]}: "
+                         f"{d_['marginal_us_per_cg_iter']} us/CG-iteration "
+                         f"marginal, {d_['fixed_us_per_solve']} us/solve "
+                         f"fixed")
+        if "chunk_bitexact_maxdiff" in pc:
+            L.append(f"- chunked exit vs per-iteration exit, cap-bound: "
+                     f"maxdiff {pc['chunk_bitexact_maxdiff']}")
+        L.append("")
+
     hs40 = load("results/round2/horizon_scaling_cap40.json")
-    if hs40:
+    if hs40 and not hs3:
         n512b = load("results/round2/horizon_n512_cap16.json")
         L.append("## Horizon scaling, TPU-retuned caps "
                  "(results/round2/horizon_scaling_cap40.json)\n")
@@ -87,7 +126,7 @@ def main():
                          f"{row['avg_tracking_error_m']} |")
         L.append("")
 
-    if hs:
+    if hs and not hs3:
         L.append("## Horizon scaling, reference-tuned caps "
                  "(results/round2/horizon_scaling.json)\n")
         L.append(f"Device-resident closed loop ({hs.get('n_updates')} updates,"
@@ -225,11 +264,17 @@ def main():
         "N=64's 5e-5 (horizon_scaling.json) -- with the exact solver the "
         "inversion disappears.")
     L.append(
-        "- **Closed-loop cost structure at N=64**: ~310 us/update non-SQP "
-        "base (rollout + shift + bookkeeping) + ~50-135 us per SQP "
-        "iteration depending on solver (stage_microbench_n64.json); the "
-        "whole-iteration megakernel holds the marginal iteration at 55 us "
-        "(bit-exact vs the staged path on hardware).")
+        "- **Closed-loop cost structure at N=64 (corrected by the "
+        "pipelined-slope protocol)**: the round-2 '~310 us non-SQP base' "
+        "was almost entirely the remote attachment's dispatch+fetch "
+        "constant leaking into single-dispatch walls.  Slope-decomposed "
+        "(base_profile_n64.json): non-SQP update work ~9 us, per-solve "
+        "fixed ~17 us, marginal SQP iteration ~28 us ex-CG, and the CG "
+        "loop (~147 iters/update at cap 40) the dominant ~120-190 us.  "
+        "The whole-solve megakernel (4 SQP iterations in ONE Pallas "
+        "dispatch, hardware bit-exact) wins on fixed cost (6.7 us) but "
+        "its in-kernel CG iteration is ~2x the dedicated PCG kernel's, "
+        "so the staged path remains the flagship.")
     L.append(
         "- **Per-N cap retuning closes the long-horizon gap**: with the "
         "TPU-tuned caps (PCGConfig.tpu_tuned_max_iter) every swept "

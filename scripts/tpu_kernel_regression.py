@@ -92,7 +92,19 @@ def check_pcg_dz(ls, sch, kkt, lam0, results, n):
     }
     ok = errs["lam"] < 1e-3 and errs["dx"] < 1e-3 and errs["du"] < 1e-3
     results[f"pcg_dz_n{n}"] = {"ok": ok, **errs}
-    return ok
+
+    # chunked exit (exit_check_every > 1) must be bit-identical to the
+    # per-iteration exit when the solve is cap-bound (tol = 0)
+    lam_c1, _, _, it1, _ = pcg_dz_pallas_lanes(
+        ls, lam0.T, 40, jnp.asarray(0.0, jnp.float32), interpret=False)
+    lam_c8, _, _, it8, _ = pcg_dz_pallas_lanes(
+        ls, lam0.T, 40, jnp.asarray(0.0, jnp.float32), interpret=False,
+        check_every=8)
+    cerrs = {"maxdiff": _maxerr(lam_c1, lam_c8),
+             "iters": [int(it1), int(it8)]}
+    cok = cerrs["maxdiff"] == 0.0 and int(it1) == int(it8) == 40
+    results[f"pcg_dz_chunked_n{n}"] = {"ok": cok, **cerrs}
+    return ok and cok
 
 
 def check_bcr_dz(ls, sch, kkt, results, n):

@@ -41,3 +41,54 @@ def test_pallas_pcg_warm_start():
                                  interpret=True)
     assert int(iters2) <= 3
     assert not bool(hit2)
+
+
+def _lanes(sd):
+    to_lane = lambda b: jnp.transpose(b, (1, 2, 0))
+    return (to_lane(sd.S.lower), to_lane(sd.S.diag), to_lane(sd.S.upper),
+            to_lane(sd.Pinv.lower), to_lane(sd.Pinv.diag),
+            to_lane(sd.Pinv.upper))
+
+
+def test_chunked_exit_matches_when_cap_bound():
+    """check_every > 1 must be bit-identical to per-iteration exit when
+    the solve is cap-bound (tol never reached) -- the flagship's regime."""
+    from mpcgpu_tpu.ops.pallas.pcg_kernel import pcg_pallas_lanes
+
+    kkt = random_kkt(seed=13)
+    sd = form_schur(kkt, RHO)
+    bands = _lanes(sd)
+    g = sd.gamma.T
+    lam0 = jnp.zeros_like(g)
+    lam1, it1, hit1 = pcg_pallas_lanes(*bands, g, lam0, 40, 0.0,
+                                       interpret=True)
+    lam8, it8, hit8 = pcg_pallas_lanes(*bands, g, lam0, 40, 0.0,
+                                       interpret=True, check_every=8)
+    np.testing.assert_array_equal(np.asarray(lam1), np.asarray(lam8))
+    assert int(it1) == int(it8) == 40
+    assert bool(hit1) and bool(hit8)
+
+
+def test_chunked_exit_converges_no_worse():
+    """With a reachable tolerance, chunked exit stops at a multiple of the
+    chunk and its extra iterations only reduce the residual."""
+    from mpcgpu_tpu.ops.btridiag import spmv
+    from mpcgpu_tpu.ops.pallas.pcg_kernel import pcg_pallas_lanes
+
+    kkt = random_kkt(seed=14)
+    sd = form_schur(kkt, RHO)
+    bands = _lanes(sd)
+    g = sd.gamma.T
+    lam0 = jnp.zeros_like(g)
+    lam1, it1, _ = pcg_pallas_lanes(*bands, g, lam0, 304, 1e-7,
+                                    interpret=True)
+    lam8, it8, _ = pcg_pallas_lanes(*bands, g, lam0, 304, 1e-7,
+                                    interpret=True, check_every=8)
+    assert int(it8) % 8 == 0
+    assert int(it8) >= int(it1) - 7
+
+    def resid(lam_l):
+        r = sd.gamma - spmv(sd.S, jnp.transpose(lam_l, (1, 0)))
+        return float(jnp.linalg.norm(r))
+
+    assert resid(lam8) <= resid(lam1) * 1.05 + 1e-6
