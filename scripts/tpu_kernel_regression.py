@@ -425,7 +425,8 @@ def main():
                     all_ok = False
         print(f"N={n}: {time.time() - t0:.1f}s "
               f"{'OK' if all_ok else 'FAILURES (see json)'}")
-        for key in (f"kkt_schur_n{n}", f"pcg_dz_n{n}", f"bcr_dz_n{n}",
+        for key in (f"kkt_schur_n{n}", f"pcg_dz_n{n}",
+                    f"pcg_dz_chunked_n{n}", f"bcr_dz_n{n}",
                     f"merit_n{n}", f"megakernel_n{n}",
                     f"megakernel_pcg_n{n}", f"megakernel_solve_n{n}",
                     f"envelope_n{n}"):
