@@ -48,6 +48,10 @@ def main() -> int:
                     help="whole-solve megakernel: all SQP iterations in one "
                     "Pallas dispatch (requires megakernel engagement)")
     ap.add_argument("--sqp-max-iter", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="throughput mode: track B independent arms "
+                    "concurrently (vmap over the closed loop); reports "
+                    "aggregate control updates/s per chip")
     ap.add_argument("--pcg-max-iter", type=int, default=None)
     ap.add_argument("--pcg-exit-tol", type=float, default=None)
     ap.add_argument("--pcg-check-every", type=int, default=None,
@@ -112,10 +116,23 @@ def main() -> int:
     lam, rho = res.lam, jnp.asarray(1e-3, jnp.float32)
 
     # compile + correctness pass
-    out = simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam, rho, tol,
-                            n_updates, linsys)
-    errs = np.asarray(out["tracking_errors"])
-    shifted = np.asarray(out["shifted"])
+    if args.batch > 1:
+        from mpcgpu_tpu.sim import simulate_mpc_scan_batched
+
+        run = lambda: simulate_mpc_scan_batched(
+            model, cfg, xu_j, ee_j, X, U, lam, rho, tol, n_updates,
+            linsys, batch=args.batch)
+        out = run()
+        errs = np.asarray(out["tracking_errors"])       # (B, n_updates)
+        shifted = np.asarray(out["shifted"][0])
+        te = errs[:, shifted]
+    else:
+        run = lambda: simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam,
+                                        rho, tol, n_updates, linsys)
+        out = run()
+        errs = np.asarray(out["tracking_errors"])
+        shifted = np.asarray(out["shifted"])
+        te = errs[shifted]
 
     # timed: pipelined-dispatch slope (utils/benchtime.py) -- the remote
     # attachment's ~30 ms dispatch+fetch constant cancels between the m=1
@@ -123,12 +140,31 @@ def main() -> int:
     from mpcgpu_tpu.utils.benchtime import pipelined_slope_us
 
     per_update, dispatch_const_us, _, wall_us = pipelined_slope_us(
-        lambda: simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam, rho,
-                                  tol, n_updates, linsys),
-        lambda o: np.asarray(o["tracking_errors"]),
-        n_updates)
-
-    te = errs[shifted]
+        run, lambda o: np.asarray(o["tracking_errors"]), n_updates)
+    if args.batch > 1:
+        # throughput story: B arms advance one control update per
+        # per_update us -> aggregate updates/s/chip
+        agg = args.batch * 1e6 / per_update
+        print(json.dumps({
+            "metric": f"iiwa_mpc_batched_throughput_n{n}_b{args.batch}",
+            "value": round(agg, 0),
+            "unit": "updates/s/chip",
+            "vs_baseline": round(agg / (1e6 / budget_us), 2),
+            "detail": {
+                "device": str(jax.devices()[0]),
+                "linsys": linsys,
+                "batch": args.batch,
+                "us_per_batched_update": round(per_update, 1),
+                "arm_rate_hz": round(1e6 / per_update, 1),
+                "within_budget": per_update <= budget_us,
+                "n_updates": n_updates,
+                "dispatch_const_us": round(dispatch_const_us, 0),
+                "avg_tracking_error_m": round(float(te.mean()), 4),
+                "max_tracking_error_m": round(float(te.max()), 4),
+                "budget_us": budget_us,
+            },
+        }))
+        return 0
     print(
         json.dumps(
             {

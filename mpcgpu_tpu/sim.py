@@ -471,3 +471,34 @@ def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
         "tracking_path": path,
         "final_xs": carry[0],
     }
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_updates", "linsys", "batch"))
+def simulate_mpc_scan_batched(model: RobotModel, cfg: SolverConfig, xu_traj,
+                              ee_traj, X, U, lam, rho, pcg_exit_tol,
+                              n_updates: int, linsys: str = "pcg",
+                              batch: int = 8, seed: int = 0):
+    """Throughput configuration: B independent arms tracked concurrently
+    on one chip -- jax.vmap over the whole device-resident closed loop.
+
+    The reference is a latency design (one arm, one GPU, persistent
+    kernels, include/pcg/sqp.cuh:275); the TPU-native complement is
+    batch throughput: the same compiled scan serves B problem instances,
+    each an independently perturbed start state of the recorded
+    figure-eight.  Returns the per-instance stats stacked on a leading
+    batch axis.
+    """
+    key = jax.random.PRNGKey(seed)
+    # distinct instances: small joint-space perturbations of the initial
+    # plan (the plant re-injects from xs = X[0], so perturbing X[0]
+    # perturbs the whole rollout)
+    dq = 0.02 * jax.random.normal(key, (batch, cfg.nq), X.dtype)
+    Xb = jnp.broadcast_to(X, (batch,) + X.shape)
+    Xb = Xb.at[:, 0, :cfg.nq].add(dq)
+    Ub = jnp.broadcast_to(U, (batch,) + U.shape)
+    lamb = jnp.broadcast_to(lam, (batch,) + lam.shape)
+
+    run = lambda Xi, Ui, li: simulate_mpc_scan(
+        model, cfg, xu_traj, ee_traj, Xi, Ui, li, rho, pcg_exit_tol,
+        n_updates, linsys)
+    return jax.vmap(run)(Xb, Ub, lamb)
