@@ -48,12 +48,13 @@ class PCGConfig:
     exit_tol: float = 1e-5          # threshold on eta = r' Pinv r
     preconditioned: bool = True     # ENABLE_PRECONDITIONING ablation flag
     # Evaluate the exit tolerance only every this many CG iterations in
-    # the fused Pallas kernel (inner fori_loop, outer while_loop).  The
-    # flagship hits its iteration cap on nearly every solve, so the
-    # per-iteration dynamic exit check is loop overhead; chunked exit may
-    # overrun the tolerance crossing by up to check-1 iterations (which
-    # only reduce the residual further) and rounds the effective cap down
-    # to a multiple.  1 = reference-exact exit semantics.
+    # the fused Pallas kernel (inner fori_loop, outer while_loop).
+    # Chunked exit may overrun the tolerance crossing by up to check-1
+    # iterations (which only reduce the residual further) and rounds the
+    # effective cap down to a multiple.  1 = reference-exact semantics.
+    # MEASURED NULL RESULT on v5e (results/round3/pcg_cost_n64.json): the
+    # while_loop exit check costs nothing (marginal 1.28 us/CG-iter at
+    # check 1 vs 1.36 at check 8; closed loop 334 vs 335 us) -- keep 1.
     exit_check_every: int = 1
 
     @staticmethod
