@@ -64,12 +64,14 @@ class PCGConfig:
 
     @staticmethod
     def tpu_tuned_max_iter(knot_points: int) -> int:
-        """Per-N caps retuned on TPU v5e (round 2; the reference's
-        GPU-tuned values are ~4x too high here).  Closed-loop validated:
+        """Per-N caps retuned on TPU v5e (the reference's GPU-tuned
+        values are ~4x too high here).  Closed-loop validated:
         parity-or-better tracking error at every N with 1.4-2x lower
-        update latency; N=512 fits the 2 ms budget only with this table
-        (results/round2/cap_sweep.json, horizon_scaling_cap40.json)."""
-        return {32: 40, 64: 40, 128: 40, 256: 40, 512: 16}.get(
+        update latency (results/round2/cap_sweep.json, round3
+        cap24_n128/cap24_n256/cap16_n256.json: at N>=128 cap 24 keeps
+        the error identical to 3 decimals while cutting the update time
+        ~12-21%; at N=64/32 cap 40 is the quality optimum)."""
+        return {32: 40, 64: 40, 128: 24, 256: 24, 512: 16}.get(
             knot_points, 40)
 
 
