@@ -487,7 +487,17 @@ def simulate_mpc_scan_batched(model: RobotModel, cfg: SolverConfig, xu_traj,
     each an independently perturbed start state of the recorded
     figure-eight.  Returns the per-instance stats stacked on a leading
     batch axis.
+
+    Uses the portable (pure-XLA) stage path: the fused Pallas kernels
+    pass per-solve scalars in (1,)-shaped SMEM operands, which jax.vmap
+    turns into (B,1) blocked specs Mosaic rejects -- and per-arm rho
+    evolution needs per-arm scalars anyway.  Batch-grid variants of the
+    stage kernels are the follow-up for real-time multi-arm; this mode
+    is the simulation/training-throughput configuration, where large B
+    amortizes the portable path's small-op overhead.
     """
+    if cfg.pallas_stages:
+        cfg = dataclasses.replace(cfg, pallas_stages=False)
     key = jax.random.PRNGKey(seed)
     # distinct instances: small joint-space perturbations of the initial
     # plan (the plant re-injects from xs = X[0], so perturbing X[0]
