@@ -105,3 +105,58 @@ def sharded_sqp_solve(model, cfg, mesh: Mesh, X, U, lam, goals, xs, rho,
     # sharded operands they combine with.
     U, xs = replicate(mesh, U, xs)
     return sqp_solve(model, cfg, X, U, lam, goals, xs, rho, pcg_exit_tol, linsys)
+
+
+# ---------------------------------------------------------------------------
+# Arm-parallel scale-out: one (or more) independent arms per chip.
+# ---------------------------------------------------------------------------
+
+ARM_AXIS = "arms"
+
+
+def arms_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name "arms"."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (ARM_AXIS,))
+
+
+def simulate_mpc_scan_arms_sharded(model, cfg, mesh: Mesh, xu_traj, ee_traj,
+                                   Xb, Ub, lamb, rho, pcg_exit_tol,
+                                   n_updates: int, linsys: str = "pcg"):
+    """B independent arms, one closed loop per device (shard_map over the
+    batch axis) -- the multi-chip throughput configuration.
+
+    One v5e chip is a single TensorCore, so on-chip batching cannot beat
+    running the fused single-arm loop back-to-back (measured:
+    results/round3/batched_throughput.json); multi-arm scale-out is a
+    mesh-level data parallelism with ZERO collectives (each device runs
+    the full fused pipeline on its own arms).  B must be a multiple of
+    the mesh size; local batches > 1 run sequentially per device via
+    lax.map, preserving each arm's full control rate only at local
+    batch 1.
+
+    Returns per-arm stats stacked on the leading batch axis, identical
+    to vmapped simulate_mpc_scan on one device.
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from mpcgpu_tpu.sim import simulate_mpc_scan
+
+    ndev = int(np.prod([v for _, v in mesh.shape.items()]))
+    B = Xb.shape[0]
+    assert B % ndev == 0, (B, ndev)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ARM_AXIS), P(ARM_AXIS), P(ARM_AXIS)),
+             out_specs=P(ARM_AXIS), check_rep=False)
+    def run_local(Xl, Ul, ll):
+        def one(args):
+            X1, U1, l1 = args
+            return simulate_mpc_scan(model, cfg, xu_traj, ee_traj, X1, U1,
+                                     l1, rho, pcg_exit_tol, n_updates,
+                                     linsys)
+        return jax.lax.map(one, (Xl, Ul, ll))
+
+    return run_local(Xb, Ub, lamb)

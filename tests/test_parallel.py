@@ -193,3 +193,43 @@ def test_sharded_sqp_solve_explicit_pcg(mesh, iiwa, traj_0_0):
     assert np.isfinite(np.asarray(res_exp.X)).all()
     np.testing.assert_allclose(np.asarray(res_exp.X),
                                np.asarray(res_gspmd.X), rtol=2e-4, atol=2e-5)
+
+
+def test_arms_sharded_matches_vmapped_single_device(iiwa, traj_0_0):
+    """One arm per device (shard_map over the batch axis) must reproduce
+    the single-device batched loop arm for arm -- zero collectives, pure
+    data parallelism (results/round3/batched_throughput.json analysis)."""
+    import dataclasses
+
+    from mpcgpu_tpu.config import PCGConfig, SolverConfig
+    from mpcgpu_tpu.parallel.sharded import (arms_mesh,
+                                             simulate_mpc_scan_arms_sharded)
+    from mpcgpu_tpu.sim import simulate_mpc_scan, simulate_mpc_scan_batched
+
+    xu, ee = traj_0_0
+    n, B, n_updates = 8, 8, 2
+    cfg = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=2),
+                              pcg=PCGConfig(max_iter=10))
+    xu_j = jnp.asarray(xu); ee_j = jnp.asarray(ee)
+    X = jnp.asarray(xu[:n, :14]); U = jnp.asarray(xu[:n - 1, 14:])
+    lam = jnp.zeros((n, 14), jnp.float32)
+    rho = jnp.float32(1e-3)
+
+    ref = simulate_mpc_scan_batched(iiwa, cfg, xu_j, ee_j, X, U, lam, rho,
+                                    1e-5, n_updates, "pcg", batch=B)
+    # same per-arm perturbation construction as the batched entry
+    key = jax.random.PRNGKey(0)
+    dq = 0.02 * jax.random.normal(key, (B, cfg.nq), X.dtype)
+    Xb = jnp.broadcast_to(X, (B,) + X.shape).at[:, 0, :cfg.nq].add(dq)
+    Ub = jnp.broadcast_to(U, (B,) + U.shape)
+    lamb = jnp.broadcast_to(lam, (B,) + lam.shape)
+
+    out = simulate_mpc_scan_arms_sharded(iiwa, cfg, arms_mesh(), xu_j, ee_j,
+                                         Xb, Ub, lamb, rho, 1e-5,
+                                         n_updates, "pcg")
+    np.testing.assert_allclose(np.asarray(out["tracking_errors"]),
+                               np.asarray(ref["tracking_errors"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["final_xs"]),
+                               np.asarray(ref["final_xs"]),
+                               rtol=1e-5, atol=1e-6)
