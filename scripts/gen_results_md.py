@@ -276,10 +276,25 @@ def main():
         "its in-kernel CG iteration is ~2x the dedicated PCG kernel's, "
         "so the staged path remains the flagship.")
     L.append(
+        "- **On-chip batching is a measured dead end; multi-arm is a "
+        "multi-chip story** (results/round3/batched_throughput.json): "
+        "the vmapped closed loop saturates at ~900 updates/s/chip "
+        "(B=64: 780/s, B=256: 909/s) vs 2985/s for the fused single-arm "
+        "loop run back-to-back -- one v5e chip is a single TensorCore, "
+        "so grid-level batching is sequential and the only on-chip "
+        "headroom is lane fill.  Arm-parallel scale-out ships as "
+        "parallel/sharded.simulate_mpc_scan_arms_sharded (one fused "
+        "closed loop per device, shard_map over the batch axis, zero "
+        "collectives), validated arm-for-arm against the single-device "
+        "batched loop on the virtual 8-device mesh.")
+    L.append(
         "- **Per-N cap retuning closes the long-horizon gap**: with the "
-        "TPU-tuned caps (PCGConfig.tpu_tuned_max_iter) every swept "
-        "horizon meets the 2 ms budget, including N=512 at 1.84 ms "
-        "(cap 16, parity error 0.031 m) -- vs 6.3 ms in round 1.")
+        "TPU-tuned caps (PCGConfig.tpu_tuned_max_iter, round 3: "
+        "{32:40, 64:40, 128:24, 256:24, 512:16}) every swept horizon "
+        "meets the 2 ms budget with pcg, including N=512 at 1.33 ms "
+        "(cap 16, parity error 0.031 m) -- vs 6.3 ms in round 1; at "
+        "N>=128 cap 24 keeps the tracking error identical to three "
+        "decimals while cutting 11-21% of update latency.")
     L.append("")
 
     (REPO / "RESULTS.md").write_text("\n".join(L) + "\n")
