@@ -44,7 +44,8 @@ def main():
 
     import __graft_entry__ as g
     from mpcgpu_tpu.config import SolverConfig
-    from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import form_kkt_schur_pallas
+    from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
+        form_kkt_schur_pallas, form_kkt_schur_tiled)
     from mpcgpu_tpu.ops.pallas.pcg_kernel import pcg_dz_pallas_lanes
 
     n = args.n
@@ -54,7 +55,10 @@ def main():
 
     model, (X, U, lam, goals, xs) = g._problem(n)
     cfg = SolverConfig.for_knots(n, sqp_max_iter=4)
-    ls = form_kkt_schur_pallas(
+    # tiled variant beyond the single-tile lane width (CLAUDE.md: the
+    # monolithic kernel is gated to N <= 128)
+    form = form_kkt_schur_pallas if n <= 128 else form_kkt_schur_tiled
+    ls = form(
         model, X, U, goals, xs, jnp.float32(1e-3), cfg.timestep,
         cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
         cfg.gravity, cfg.cost.hessian, True, cfg.angle_wrap,
