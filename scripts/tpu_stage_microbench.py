@@ -107,16 +107,20 @@ def main():
     results[f"pcg_us_per_cg_iter_n{n}"] = round(t_pcg / args.pcg_iters, 3)
     print(f"  -> {t_pcg / args.pcg_iters:.2f} us per CG iteration")
 
-    # --- stage 2b: exact BCR solve + dz (the PCG alternative) ---
-    from mpcgpu_tpu.ops.pallas.bcr_kernel import bcr_dz_pallas_lanes
+    # --- stage 2b: exact BCR solve + dz (the PCG alternative); the fused
+    # kernel's production envelope is N <= 256 (sqp.py gates N=512 to the
+    # portable solve: refinement buffers exceed the 16 MB scoped VMEM) ---
+    if n <= 256:
+        from mpcgpu_tpu.ops.pallas.bcr_kernel import bcr_dz_pallas_lanes
 
-    def bcr_step(scale):
-        ls_s = ls0._replace(gamma=ls0.gamma * scale)
-        lam_new, dX, dU, it, hit = bcr_dz_pallas_lanes(ls_s, interpret=interp)
-        return scale * 0.9999 + 1e-20 * lam_new[0, 0]
+        def bcr_step(scale):
+            ls_s = ls0._replace(gamma=ls0.gamma * scale)
+            lam_new, dX, dU, it, hit = bcr_dz_pallas_lanes(ls_s,
+                                                           interpret=interp)
+            return scale * 0.9999 + 1e-20 * lam_new[0, 0]
 
-    timed_scan(bcr_step, jnp.float32(1.0), max(args.iters // 4, 20),
-               f"bcr_dz_n{n}", results)
+        timed_scan(bcr_step, jnp.float32(1.0), max(args.iters // 4, 20),
+                   f"bcr_dz_n{n}", results)
 
     # --- stage 3: 9-candidate merit line search ---
     dX0 = 1e-3 * jnp.ones_like(X)
