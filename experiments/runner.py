@@ -114,6 +114,14 @@ def run_expr(settings: Settings, name: str,
             summary = rec.summary()
             summary["wall_time_s"] = time.time() - t0
             summary["pcg_exit_tol"] = tol
+            # "linsys"/"fine_grained" tiers time the PHASE-SPLIT
+            # executable (separately dispatched + synced stages, like the
+            # reference's TIME_LINSYS brackets, pcg/sqp.cuh:269-286) --
+            # its sqp_time percentiles include multi-dispatch overhead
+            # and are NOT comparable with the "minimal" tier's fused
+            # executable; the label records which one was measured.
+            summary["timed_executable"] = (
+                "phase_split" if fine else "fused")
             if fine:
                 import numpy as _np
 

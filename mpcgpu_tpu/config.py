@@ -57,6 +57,15 @@ class PCGConfig:
     # check 1 vs 1.36 at check 8; closed loop 334 vs 335 us) -- keep 1.
     exit_check_every: int = 1
 
+    def __post_init__(self):
+        if not 1 <= self.exit_check_every <= self.max_iter:
+            raise ValueError(
+                f"exit_check_every={self.exit_check_every} must be in "
+                f"[1, max_iter={self.max_iter}]: the chunked loop rounds "
+                f"the effective cap down to a multiple of the chunk, so a "
+                f"chunk larger than the cap would run ZERO CG iterations "
+                f"(silent no-op dual solve)")
+
     @staticmethod
     def tuned_max_iter(knot_points: int) -> int:
         # reference settings.cuh:135-156 (empirical per-N caps)
@@ -148,13 +157,14 @@ class SolverConfig:
 
     @staticmethod
     def for_knots(knot_points: int, **kw) -> "SolverConfig":
-        """Config with the reference's per-N tuned defaults."""
-        return SolverConfig(
-            knot_points=knot_points,
-            cost=CostConfig.for_knots(knot_points),
-            pcg=PCGConfig(max_iter=PCGConfig.tuned_max_iter(knot_points)),
-            **kw,
-        )
+        """Config with the reference's per-N tuned defaults.
+
+        Explicit cost=/pcg= keywords override the per-N defaults (they
+        previously collided with the defaults and raised TypeError)."""
+        kw.setdefault("cost", CostConfig.for_knots(knot_points))
+        kw.setdefault("pcg",
+                      PCGConfig(max_iter=PCGConfig.tuned_max_iter(knot_points)))
+        return SolverConfig(knot_points=knot_points, **kw)
 
 
 def default_pcg_exit_tols(knot_points: int) -> list:

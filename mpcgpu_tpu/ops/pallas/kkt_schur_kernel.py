@@ -58,13 +58,12 @@ def _lane_mask(n, lo, hi, dtype):
 
 
 def _wrap_lane(q):
-    """Lane-batched angleWrap: reflect q leaving (-pi, pi) back into range
-    (exact reference semantics incl. the truncated pi constant,
-    include/common/integrator.cuh:13-19; see ops/integrator.angle_wrap)."""
-    pi = jnp.asarray(3.14159, q.dtype)
-    q = jnp.where(q > pi, -(q - pi), q)
-    q = jnp.where(q < -pi, -(q + pi), q)
-    return q
+    """Lane-batched angleWrap: the portable ops/integrator.angle_wrap
+    (pure jnp.where -- traces identically inside a kernel), kept under
+    its historical kernel-local name for the merit/mega kernel imports."""
+    from mpcgpu_tpu.ops.integrator import angle_wrap
+
+    return angle_wrap(q)
 
 
 def _perknot(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,

@@ -95,15 +95,12 @@ def pcg_sharded(mesh: Mesh, S: BlockTri, Pinv: BlockTri, gamma, lam0,
 
     Returns (lam, iters, hit_max) like ops.pcg.pcg.
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    from mpcgpu_tpu.parallel._compat import shard_map_compat
 
     spec_b = P(AXIS, None, None)
     spec_v = P(AXIS, None)
 
-    fn = shard_map(
+    fn = shard_map_compat(
         partial(_pcg_shard, max_iter),
         mesh=mesh,
         in_specs=(P(),) + (spec_b,) * 6 + (spec_v,) * 2,

@@ -151,22 +151,19 @@ def pcg_sharded_pallas(mesh: Mesh, S: BlockTri, Pinv: BlockTri, gamma, lam0,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    from mpcgpu_tpu.parallel._compat import shard_map_compat
 
     spec_b = P(AXIS, None, None)
     spec_v = P(AXIS, None)
 
-    fn = shard_map(
+    fn = shard_map_compat(
         functools.partial(_pcg_shard_fused, max_iter, bool(interpret)),
         mesh=mesh,
         in_specs=(P(),) + (spec_b,) * 6 + (spec_v,) * 2,
         out_specs=(spec_v, P(), P()),
         # pallas_call outputs carry no varying-mesh-axes annotation;
-        # skip the vma check (the specs above state the sharding).
-        check_vma=False,
+        # skip the replication check (the specs state the sharding).
+        check=False,
     )
     lam, iters, hit = fn(
         jnp.asarray(exit_tol, gamma.dtype),

@@ -138,19 +138,13 @@ def simulate_mpc_scan_arms_sharded(model, cfg, mesh: Mesh, xu_traj, ee_traj,
     Returns per-arm stats stacked on the leading batch axis, identical
     to vmapped simulate_mpc_scan on one device.
     """
-    from functools import partial
-
-    from jax.experimental.shard_map import shard_map
-
+    from mpcgpu_tpu.parallel._compat import shard_map_compat
     from mpcgpu_tpu.sim import simulate_mpc_scan
 
     ndev = int(np.prod([v for _, v in mesh.shape.items()]))
     B = Xb.shape[0]
     assert B % ndev == 0, (B, ndev)
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(ARM_AXIS), P(ARM_AXIS), P(ARM_AXIS)),
-             out_specs=P(ARM_AXIS), check_rep=False)
     def run_local(Xl, Ul, ll):
         def one(args):
             X1, U1, l1 = args
@@ -159,4 +153,8 @@ def simulate_mpc_scan_arms_sharded(model, cfg, mesh: Mesh, xu_traj, ee_traj,
                                      linsys)
         return jax.lax.map(one, (Xl, Ul, ll))
 
-    return run_local(Xb, Ub, lamb)
+    fn = shard_map_compat(
+        run_local, mesh=mesh,
+        in_specs=(P(ARM_AXIS), P(ARM_AXIS), P(ARM_AXIS)),
+        out_specs=P(ARM_AXIS), check=False)
+    return fn(Xb, Ub, lamb)
