@@ -35,6 +35,9 @@ def test_run_expr_timing_tiers_and_memory(tmp_path, fixtures_dir):
         "kkt", "schur", "linsys", "dz", "line_search"}
     assert all(v["avg"] > 0 for v in s["phase_times_us"].values())
     assert "peak_device_bytes" in s and s["memory_samples"] >= 1
+    # phase-split executables are labelled so their latencies are not
+    # silently compared with the fused "minimal" tier's
+    assert s["timed_executable"] == "phase_split"
 
     st_lin = Settings(knot_points=(8,), max_timesteps=3, warmup_iters=1,
                       timing_mode="linsys")
