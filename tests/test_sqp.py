@@ -137,3 +137,23 @@ def test_timeboxed_mode(iiwa, problem):
     res0 = sqp_solve_timeboxed(iiwa, cfg, X, U, lam, goals, xs, 1e-3, 1e-6,
                                max_time_us=0.0)
     assert int(res0.stats.sqp_iters) == 0
+
+
+def test_minimum_horizon_n2(iiwa, fixtures_dir):
+    """The reference sweeps N from 2 (experiments/01_*.py:8); the solver
+    must run at the degenerate two-knot horizon."""
+    import dataclasses
+
+    from mpcgpu_tpu.config import PCGConfig, SolverConfig
+    from mpcgpu_tpu.utils.trajfiles import load_fixture_pair, horizon_slices
+
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
+    n = 2
+    cfg = dataclasses.replace(
+        SolverConfig.for_knots(n, sqp_max_iter=2, pcg=PCGConfig(max_iter=10)))
+    X, U, goals, xs = horizon_slices(xu, ee, n)
+    lam = jnp.zeros((n, 14), jnp.float32)
+    res = sqp_solve(iiwa, cfg, jnp.asarray(X), jnp.asarray(U), lam,
+                    jnp.asarray(ee[:n]), jnp.asarray(xs), 1e-3, 1e-8, "pcg")
+    assert np.isfinite(float(res.stats.final_merit))
+    assert np.isfinite(np.asarray(res.X)).all()
