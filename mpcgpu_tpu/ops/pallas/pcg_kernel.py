@@ -51,8 +51,45 @@ def _band_spmv(L, D, U, x):
     return acc
 
 
+def _band_spmv_lead(Lt, Dt, Ut, x):
+    """_band_spmv with bands pre-transposed to (j, i, N).
+
+    Each band element is then a LEADING-dim slab pick ``Dt[j]`` instead
+    of the middle(sublane)-dim extract ``D[:, j, :]`` -- those extracts
+    each pay a Mosaic relayout inside the loop, which dominated CG cost
+    at multi-tile lane widths (results/round3/cg_probe_n512.json: 5.37
+    -> 0.71 us/CG-iteration at N=512; 1.39 -> 0.98 at N=64).  The
+    accumulation order matches _band_spmv exactly, so results are
+    bit-identical; only the band memory layout differs.
+    """
+    n = x.shape[1]
+    s = x.shape[0]
+    xm = pltpu.roll(x, 1, axis=1)      # x_{k-1} into lane k (wraps; L[0] = 0)
+    xp = pltpu.roll(x, n - 1, axis=1)  # x_{k+1} into lane k (wraps; U[N-1] = 0)
+    acc = Dt[0] * x[0:1, :]
+    for j in range(1, s):
+        acc = acc + Dt[j] * x[j:j + 1, :]
+    for j in range(s):
+        acc = acc + Lt[j] * xm[j:j + 1, :]
+        acc = acc + Ut[j] * xp[j:j + 1, :]
+    return acc
+
+
+def _dot(a, b):
+    """<a, b> over (s, N) tiles as sublane-reduce -> lane row-sum.
+
+    Staging the reduction (sum over the 14-row sublane axis with
+    keepdims, then a full sum of the single remaining row) measures
+    ~2x faster in-kernel than the one-shot jnp.sum(a * b)
+    (results/round3/cg_probe_n64.json: full_lead 0.98 -> full_lead2
+    0.57 us/CG-iteration; n512: 0.71 -> 0.53).  Reduction order
+    differs from jnp.sum(a * b) only in float associativity.
+    """
+    return jnp.sum(jnp.sum(a * b, axis=0, keepdims=True))
+
+
 def _pcg_loop(SL, SD, SU, PL, PD, PU, gamma, lam0, max_iter, tol,
-              check_every: int = 1):
+              check_every: int = 1, spmv=None):
     """The CG loop itself, callable from any kernel that has the banded
     system + preconditioner in registers/VMEM (the PCG kernel below and
     the whole-iteration megakernel's polish stage).
@@ -65,19 +102,23 @@ def _pcg_loop(SL, SD, SU, PL, PD, PU, gamma, lam0, max_iter, tol,
     crossing (extra iterations only reduce the residual further); the
     effective cap rounds down to a multiple of check_every.
 
+    spmv selects the band-SpMV layout: _band_spmv for (i, j, N) bands
+    (default), _band_spmv_lead for (j, i, N) bands.
+
     Returns (lam, iters, eta)."""
-    r0 = gamma - _band_spmv(SL, SD, SU, lam0)
-    rt0 = _band_spmv(PL, PD, PU, r0)
-    eta0 = jnp.sum(r0 * rt0)
+    spmv = spmv or _band_spmv
+    r0 = gamma - spmv(SL, SD, SU, lam0)
+    rt0 = spmv(PL, PD, PU, r0)
+    eta0 = _dot(r0, rt0)
 
     def step(carry):
         lam, r, p, eta, i = carry
-        ups = _band_spmv(SL, SD, SU, p)
-        alpha = eta / jnp.sum(p * ups)
+        ups = spmv(SL, SD, SU, p)
+        alpha = eta / _dot(p, ups)
         lam = lam + alpha * p
         r = r - alpha * ups
-        rt = _band_spmv(PL, PD, PU, r)
-        eta_new = jnp.sum(r * rt)
+        rt = spmv(PL, PD, PU, r)
+        eta_new = _dot(r, rt)
         p = rt + (eta_new / eta) * p
         return lam, r, p, eta_new, i + 1
 
@@ -103,23 +144,33 @@ def _pcg_loop(SL, SD, SU, PL, PD, PU, gamma, lam0, max_iter, tol,
     return lam, iters, eta
 
 
-def _pcg_kernel(s: int, check_every: int, max_iter_ref, tol_ref,
+def _pcg_kernel(s: int, check_every: int, lead: bool, max_iter_ref, tol_ref,
                 sl_ref, sd_ref, su_ref, pl_ref, pd_ref, pu_ref,
                 gamma_ref, lam0_ref,
                 lam_out_ref, iters_ref, hit_ref):
     lam, iters, eta = _pcg_loop(
         sl_ref[:], sd_ref[:], su_ref[:], pl_ref[:], pd_ref[:], pu_ref[:],
         gamma_ref[:], lam0_ref[:], max_iter_ref[0], tol_ref[0],
-        check_every)
+        check_every, spmv=_band_spmv_lead if lead else _band_spmv)
     lam_out_ref[:] = lam
     iters_ref[0] = iters
     hit_ref[0] = (jnp.abs(eta) > tol_ref[0]).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "check_every"))
+def _lead_bands(*bands):
+    """(i, j, N) -> (j, i, N), done by XLA between kernel dispatches.
+
+    A leading-dims swap of ~2.4 MB (N=512) costs a few us of HBM
+    bandwidth once per solve; the lead layout then saves that per CG
+    ITERATION (see _band_spmv_lead)."""
+    return tuple(jnp.swapaxes(b, 0, 1) for b in bands)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "check_every", "lead"))
 def pcg_pallas_lanes(SL, SD, SU, PL, PD, PU, gamma_l, lam0_l, max_iter,
                      exit_tol, interpret: bool = None,
-                     check_every: int = 1):
+                     check_every: int = 1, lead: bool = True):
     """Lane-layout entry: bands (s,s,N), vectors (s,N) -- no transposes.
 
     Feeds directly from the fused KKT+Schur kernel's outputs.
@@ -129,10 +180,12 @@ def pcg_pallas_lanes(SL, SD, SU, PL, PD, PU, gamma_l, lam0_l, max_iter,
         interpret = jax.default_backend() != "tpu"
     s, n = gamma_l.shape
     f32 = gamma_l.dtype
+    if lead:
+        SL, SD, SU, PL, PD, PU = _lead_bands(SL, SD, SU, PL, PD, PU)
     smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     lam_t, iters, hit = pl.pallas_call(
-        functools.partial(_pcg_kernel, s, check_every),
+        functools.partial(_pcg_kernel, s, check_every, lead),
         out_shape=(
             jax.ShapeDtypeStruct((s, n), f32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
@@ -212,7 +265,8 @@ def check_pcg_vmem_fit(knot_points: int, state_size: int,
     return need
 
 
-def _pcg_dz_kernel(s: int, nu: int, check_every: int, max_iter_ref, tol_ref,
+def _pcg_dz_kernel(s: int, nu: int, check_every: int, lead: bool,
+                   max_iter_ref, tol_ref,
                    sl_ref, sd_ref, su_ref, pl_ref, pd_ref, pu_ref,
                    gamma_ref, lam0_ref,
                    a_ref, b_ref, qg_ref, rg_ref, qinv_ref, rinv_ref,
@@ -223,7 +277,7 @@ def _pcg_dz_kernel(s: int, nu: int, check_every: int, max_iter_ref, tol_ref,
     kkt_schur_kernel.compute_dz_lanes)."""
     from mpcgpu_tpu.ops.pallas import lanedyn as ld
 
-    _pcg_kernel(s, check_every, max_iter_ref, tol_ref, sl_ref, sd_ref,
+    _pcg_kernel(s, check_every, lead, max_iter_ref, tol_ref, sl_ref, sd_ref,
                 su_ref, pl_ref, pd_ref, pu_ref, gamma_ref, lam0_ref,
                 lam_out_ref, iters_ref, hit_ref)
     lam = lam_out_ref[:]
@@ -241,9 +295,11 @@ def _pcg_dz_kernel(s: int, nu: int, check_every: int, max_iter_ref, tol_ref,
     du_out_ref[:] = -ld.lane_matvec(rinv_ref[:], rg_ref[:] + Bt_lam)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "check_every"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "check_every", "lead"))
 def pcg_dz_pallas_lanes(ls, lam0_l, max_iter, exit_tol,
-                        interpret: bool = None, check_every: int = 1):
+                        interpret: bool = None, check_every: int = 1,
+                        lead: bool = True):
     """Fused PCG + primal recovery from a LaneSchur system.
 
     Returns (lam (s,N), dX (N,s), dU (N-1,nu), iters, hit_max).
@@ -253,10 +309,14 @@ def pcg_dz_pallas_lanes(ls, lam0_l, max_iter, exit_tol,
     s, n = ls.gamma.shape
     nu = ls.Rinv.shape[0]
     f32 = ls.gamma.dtype
+    SL, SD, SU = ls.SL, ls.SD, ls.SU
+    PL, PD, PU = ls.PL, ls.PD, ls.PU
+    if lead:
+        SL, SD, SU, PL, PD, PU = _lead_bands(SL, SD, SU, PL, PD, PU)
     smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     lam_t, dx_t, du_t, iters, hit = pl.pallas_call(
-        functools.partial(_pcg_dz_kernel, s, nu, check_every),
+        functools.partial(_pcg_dz_kernel, s, nu, check_every, lead),
         out_shape=(
             jax.ShapeDtypeStruct((s, n), f32),
             jax.ShapeDtypeStruct((s, n), f32),
@@ -270,7 +330,7 @@ def pcg_dz_pallas_lanes(ls, lam0_l, max_iter, exit_tol,
     )(
         jnp.asarray(max_iter, jnp.int32).reshape(1),
         jnp.asarray(exit_tol, f32).reshape(1),
-        ls.SL, ls.SD, ls.SU, ls.PL, ls.PD, ls.PU, ls.gamma, lam0_l,
+        SL, SD, SU, PL, PD, PU, ls.gamma, lam0_l,
         ls.A, ls.B, ls.q, ls.r, ls.Qinv, ls.Rinv,
     )
     return lam_t, dx_t.T, du_t.T[:-1], iters[0], iters_hit_bool(hit)

@@ -206,13 +206,27 @@ def _mega_kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     bail_out[0] = bail.astype(jnp.int32)
 
 
+def _canon(x):
+    """Force a canonical-layout copy of an in-kernel value.
+
+    Band operands reaching the CG loop as lazily-rolled / transposed
+    values keep Mosaic offset layouts; every use inside the loop body
+    then pays a relayout PER CG ITERATION.  Adding a computed (iota-
+    derived) zero forces one materialization up front instead.
+    """
+    n = x.shape[-1]
+    z = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < 0).astype(x.dtype)
+    return x + z
+
+
 def _iteration_pcg(nq: int, nu: int, dt: float, qd_cost: float,
                    r_cost: float, integrator_type: int, gravity: float,
                    hessian: str, mu: float, num_alphas: int,
                    rho_factor: float, rho_min: float, rho_max: float,
                    rho_reset: float, wrap: bool, tracking: str, q_cost: float,
                    X, U, goals, xs, lam0, rho, drho, merit_prev,
-                   max_iter, tol, x_tab, h_tab, dh_tab, I_tab):
+                   max_iter, tol, x_tab, h_tab, dh_tab, I_tab,
+                   mat_bands: bool = False):
     """One full SQP iteration with the stair-PCG dual solve, as pure
     lane-value math (no refs) -- shared by the single-iteration kernel
     (_mega_kernel_pcg) and the whole-solve kernel (_solve_kernel_pcg).
@@ -249,6 +263,10 @@ def _iteration_pcg(nq: int, nu: int, dt: float, qd_cost: float,
     ) * mN
 
     # ---- warm-started CG dual solve (the staged kernel's _pcg_loop)
+    if mat_bands:
+        phi, theta, SU = _canon(phi), _canon(theta), _canon(SU)
+        PL, theta_inv, PU = _canon(PL), _canon(theta_inv), _canon(PU)
+        gamma = _canon(gamma)
     lam, iters, eta = _pcg_loop(phi, theta, SU, PL, theta_inv, PU,
                                 gamma, lam0, max_iter, tol)
     hit = (jnp.abs(eta) > tol).astype(jnp.int32)
@@ -280,6 +298,7 @@ def _mega_kernel_pcg(nq: int, nu: int, dt: float, qd_cost: float,
                      rho_factor: float, rho_min: float, rho_max: float,
                      rho_reset: float,
                      wrap: bool, tracking: str, q_cost: float,
+                     mat_bands: bool,
                      max_iter_ref, tol_ref, rho_ref, drho_ref, merit_ref,
                      x_ref, u_ref, goals_ref, xs_ref, lam0_ref,
                      hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
@@ -303,6 +322,7 @@ def _mega_kernel_pcg(nq: int, nu: int, dt: float, qd_cost: float,
         x_ref[:], u_ref[:], goals_ref[:], xs_ref[:], lam0_ref[:],
         rho_ref[0], drho_ref[0], merit_ref[0],
         max_iter_ref[0], tol_ref[0], x_tab, h_tab, dh_tab, i_ref[:],
+        mat_bands=mat_bands,
     )
     x_out[:] = Xn
     u_out[:] = Un
@@ -325,6 +345,7 @@ def _solve_kernel_pcg(nq: int, nu: int, n_sqp_iter: int, dt: float,
                       num_alphas: int, rho_factor: float, rho_min: float,
                       rho_max: float, rho_reset: float,
                       wrap: bool, tracking: str, q_cost: float,
+                      mat_bands: bool,
                       max_iter_ref, tol_ref, rho_ref, drho_ref, merit_ref,
                       x_ref, u_ref, goals_ref, xs_ref, lam0_ref,
                       hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
@@ -359,6 +380,7 @@ def _solve_kernel_pcg(nq: int, nu: int, n_sqp_iter: int, dt: float,
             wrap, tracking, q_cost,
             X, U, goals, xs, lam, rho, drho, merit,
             max_iter, tol, x_tab, h_tab, dh_tab, I_tab,
+            mat_bands=mat_bands,
         )
         live = jnp.logical_not(done)
         livef = live.astype(X.dtype)
@@ -453,7 +475,7 @@ def sqp_iter_mega(model: RobotModel, Xl, Ul, goals_l, xs, rho, drho, merit,
     static_argnames=("dt", "qd_cost", "r_cost", "integrator_type", "gravity",
                      "hessian", "mu", "num_alphas", "rho_factor", "rho_min",
                      "rho_max", "rho_reset", "wrap", "tracking", "q_cost",
-                     "interpret"),
+                     "interpret", "mat_bands"),
 )
 def sqp_iter_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
                       rho, drho, merit, max_iter, exit_tol,
@@ -462,7 +484,8 @@ def sqp_iter_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
                       mu: float, num_alphas: int, rho_factor: float,
                       rho_min: float, rho_max: float, rho_reset: float,
                       wrap: bool = False, tracking: str = "eepos",
-                      q_cost: float = 1.0, interpret: bool = None):
+                      q_cost: float = 1.0, interpret: bool = None,
+                      mat_bands: bool = False):
     """One SQP iteration with the warm-started stair-PCG dual solve,
     fused end-to-end in one dispatch.  Xl (nx, N), Ul (nu, N; lane N-1
     zero), goals_l ((3, N) ee / (nx, N) joint refs), xs (nx,), lam0_l
@@ -479,6 +502,7 @@ def sqp_iter_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
         int(integrator_type), float(gravity), str(hessian), float(mu),
         int(num_alphas), float(rho_factor), float(rho_min), float(rho_max),
         float(rho_reset), bool(wrap), str(tracking), float(q_cost),
+        bool(mat_bands),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -514,7 +538,8 @@ def sqp_iter_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
     static_argnames=("n_sqp_iter", "dt", "qd_cost", "r_cost",
                      "integrator_type", "gravity", "hessian", "mu",
                      "num_alphas", "rho_factor", "rho_min", "rho_max",
-                     "rho_reset", "wrap", "tracking", "q_cost", "interpret"),
+                     "rho_reset", "wrap", "tracking", "q_cost", "interpret",
+                     "mat_bands"),
 )
 def sqp_solve_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
                        rho, drho, merit0, max_iter, exit_tol,
@@ -524,7 +549,8 @@ def sqp_solve_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
                        mu: float, num_alphas: int, rho_factor: float,
                        rho_min: float, rho_max: float, rho_reset: float,
                        wrap: bool = False, tracking: str = "eepos",
-                       q_cost: float = 1.0, interpret: bool = None):
+                       q_cost: float = 1.0, interpret: bool = None,
+                       mat_bands: bool = False):
     """The whole SQP solve (up to n_sqp_iter iterations, rho-bail exit)
     in ONE Pallas dispatch.  Same lane layout as sqp_iter_mega_pcg;
     merit0 is the incumbent merit of (Xl, Ul) (computed by the caller,
@@ -543,7 +569,7 @@ def sqp_solve_mega_pcg(model: RobotModel, Xl, Ul, goals_l, xs, lam0_l,
         float(qd_cost), float(r_cost), int(integrator_type), float(gravity),
         str(hessian), float(mu), int(num_alphas), float(rho_factor),
         float(rho_min), float(rho_max), float(rho_reset), bool(wrap),
-        str(tracking), float(q_cost),
+        str(tracking), float(q_cost), bool(mat_bands),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -42,8 +42,11 @@ def _spmv_halo_kernel(sl_ref, sd_ref, su_ref, x_ref, xl_ref, xr_ref, y_ref):
     y[:, k] = L_k x_{k-1} + D_k x_k + U_k x_{k+1}, where x_{-1} comes
     from the left neighbor's last column (xl) and x_{nl} from the right
     neighbor's first column (xr); the global edges pass zeros.  Same FMA
-    structure as the single-chip kernel (pcg_kernel._band_spmv), with the
-    wrapped roll columns replaced by the halos.
+    structure as the single-chip kernel (pcg_kernel._band_spmv_lead):
+    bands arrive pre-transposed to (j, i, nl) so each band element is a
+    leading-dim slab pick (middle-dim extracts pay a Mosaic relayout per
+    use -- results/round3/cg_probe_n512.json), with the wrapped roll
+    columns replaced by the halos.
     """
     L, D, U = sl_ref[:], sd_ref[:], su_ref[:],
     x = x_ref[:]
@@ -56,12 +59,12 @@ def _spmv_halo_kernel(sl_ref, sd_ref, su_ref, x_ref, xl_ref, xr_ref, y_ref):
     xm = pltpu.roll(x, 1, axis=1) * (1.0 - first) + xl_ref[:] * first
     xp = pltpu.roll(x, n - 1, axis=1) * (1.0 - last) + xr_ref[:] * last
 
-    acc = D[:, 0, :] * x[0:1, :]
+    acc = D[0] * x[0:1, :]
     for j in range(1, s):
-        acc = acc + D[:, j, :] * x[j:j + 1, :]
+        acc = acc + D[j] * x[j:j + 1, :]
     for j in range(s):
-        acc = acc + L[:, j, :] * xm[j:j + 1, :]
-        acc = acc + U[:, j, :] * xp[j:j + 1, :]
+        acc = acc + L[j] * xm[j:j + 1, :]
+        acc = acc + U[j] * xp[j:j + 1, :]
     y_ref[:] = acc
 
 
@@ -100,8 +103,9 @@ def _pdot(a, b):
 def _pcg_shard_fused(max_iter: int, interpret: bool, exit_tol,
                      sl, sd, su, pl_, pd_, pu_, gamma, lam0):
     """Per-device body: inputs in knot-major shard layout (nl, s, s) /
-    (nl, s); transposed locally to the lane layout the kernels use."""
-    to_lane = lambda b: jnp.transpose(b, (1, 2, 0))
+    (nl, s); transposed locally to the lead lane layout (j, i, nl) the
+    kernels use."""
+    to_lane = lambda b: jnp.transpose(b, (2, 1, 0))
     vec = lambda v: jnp.transpose(v, (1, 0))
     SL, SD, SU = to_lane(sl), to_lane(sd), to_lane(su)
     PL, PD, PU = to_lane(pl_), to_lane(pd_), to_lane(pu_)

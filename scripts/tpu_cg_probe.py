@@ -12,8 +12,15 @@ iteration loop in one Pallas kernel over the flagship-shaped operands:
   dots_only   : two jnp.sum(a*b) dots per iter, no SpMV
   full        : the production _pcg_loop at tol=0 (cap-bound)
   full_2stage : _pcg_loop with dots as sum(axis=0) -> lane row-sum
+  spmv_lead   : SpMVs with bands pre-transposed to (j, i, N) so the
+                per-band-element extract is a LEADING-dim slab pick
+                instead of a middle(sublane)-dim offset extract
+  spmv_rowred : (i, j, N) bands, leading-dim extract per OUTPUT row,
+                sublane-reduction contraction (risky: Mosaic has
+                rejected this shape before; errors are recorded)
+  full_lead   : the whole CG loop on (j, i, N) bands
 
-    python scripts/tpu_cg_probe.py [--n 64] [--cpu]
+    python scripts/tpu_cg_probe.py [--n 64] [--cpu] [--modes a,b,...]
 
 Archives results/round3/cg_probe_n{n}.json.
 """
@@ -40,6 +47,7 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--scan-iters", type=int, default=100)
+    ap.add_argument("--modes", type=str, default="")
     args = ap.parse_args()
 
     import jax
@@ -80,12 +88,80 @@ def main():
         # single remaining row
         return jnp.sum(jnp.sum(a * b, axis=0, keepdims=True))
 
+    def spmv_lead(Lt, Dt, Ut, x):
+        """Bands pre-transposed to (j, i, N): extracts are leading-dim
+        slab picks (no sublane-offset relayout)."""
+        n_ = x.shape[1]
+        s = x.shape[0]
+        xm = pltpu.roll(x, 1, axis=1)
+        xp = pltpu.roll(x, n_ - 1, axis=1)
+        acc = Dt[0] * x[0:1, :]
+        for j in range(1, s):
+            acc = acc + Dt[j] * x[j:j + 1, :]
+        for j in range(s):
+            acc = acc + Lt[j] * xm[j:j + 1, :]
+            acc = acc + Ut[j] * xp[j:j + 1, :]
+        return acc
+
+    def spmv_rowred(L, D, U, x):
+        """Original (i, j, N) bands, leading-dim extract per OUTPUT row;
+        contraction via a sublane reduction instead of broadcasts."""
+        n_ = x.shape[1]
+        xm = pltpu.roll(x, 1, axis=1)
+        xp = pltpu.roll(x, n_ - 1, axis=1)
+        rows = []
+        for i in range(x.shape[0]):
+            t = D[i] * x + L[i] * xm + U[i] * xp
+            rows.append(jnp.sum(t, axis=0, keepdims=True))
+        return jnp.concatenate(rows, axis=0)
+
+    def cg_loop_with(spmv, SL, SD, SU, PL, PD, PU, gamma, x,
+                     dot=None):
+        dot = dot or dot_full
+        r = gamma - spmv(SL, SD, SU, x)
+        p = spmv(PL, PD, PU, r)
+        eta = dot(r, p)
+
+        def body(c):
+            lam_c, r_c, p_c, eta_c, i = c
+            ups = spmv(SL, SD, SU, p_c)
+            alpha = eta_c / dot(p_c, ups)
+            lam_c = lam_c + alpha * p_c
+            r_c = r_c - alpha * ups
+            rt = spmv(PL, PD, PU, r_c)
+            eta_new = dot(r_c, rt)
+            p_c = rt + (eta_new / eta_c) * p_c
+            return lam_c, r_c, p_c, eta_new, i + 1
+
+        c = jax.lax.while_loop(lambda c: c[4] < ITERS, body,
+                               (x, r, p, eta, jnp.int32(0)))
+        return c[0]
+
     def variant_kernel(mode, sl, sd, su, pl_, pd, pu, gam, lam0, out_ref):
         x = lam0[:]
         SL, SD, SU = sl[:], sd[:], su[:]
         PL, PD, PU = pl_[:], pd[:], pu[:]
         gamma = gam[:]
 
+        if mode in ("spmv_lead", "spmv_rowred", "full_lead", "full_rowred",
+                    "full_lead2", "full_rowred2"):
+            spmv = spmv_lead if "lead" in mode else spmv_rowred
+            if mode.startswith("full"):
+                dot = dot_2stage if mode.endswith("2") else dot_full
+                out_ref[:] = cg_loop_with(spmv, SL, SD, SU, PL, PD, PU,
+                                          gamma, x, dot=dot)
+                return
+
+            def body(c):
+                y, i = c
+                y1 = spmv(SL, SD, SU, y)
+                y2 = spmv(PL, PD, PU, y1)
+                return y * 0.999 + 1e-9 * y2, i + 1
+
+            c = jax.lax.while_loop(lambda c: c[1] < ITERS, body,
+                                   (x, jnp.int32(0)))
+            out_ref[:] = c[0]
+            return
         if mode == "full":
             lam_out, _, _ = _pcg_loop(SL, SD, SU, PL, PD, PU, gamma, x,
                                       jnp.int32(ITERS), 0.0)
@@ -146,12 +222,16 @@ def main():
             out_specs=vmem,
             interpret=interp,
         )
+        # lead variants take bands pre-transposed to (j, i, N) by XLA
+        tb = ((lambda b: jnp.swapaxes(b, 0, 1)) if "lead" in mode
+              else (lambda b: b))
+        bands = tuple(tb(b) for b in
+                      (ls.SL, ls.SD, ls.SU, ls.PL, ls.PD, ls.PU))
 
         @partial(jax.jit, static_argnames=("k",))
         def scan(lam0, k):
             def body(c, _):
-                o = kern(ls.SL, ls.SD, ls.SU, ls.PL, ls.PD, ls.PU,
-                         ls.gamma, c)
+                o = kern(*bands, ls.gamma, c)
                 return c * 0.999 + 1e-9 * o, None
             return jax.lax.scan(body, lam0, None, length=k)[0]
 
@@ -174,7 +254,10 @@ def main():
         print(f"{mode}: {per_call:.1f} us/call -> {per_iter:.3f} "
               f"us/iteration", flush=True)
 
-    for mode in ("full", "spmv_only", "dots_only", "full_2stage"):
+    all_modes = ("full", "spmv_only", "dots_only", "full_2stage",
+                 "spmv_lead", "spmv_rowred", "full_lead")
+    modes = args.modes.split(",") if args.modes else all_modes
+    for mode in modes:
         try:
             run_variant(mode)
         except Exception as e:
@@ -183,6 +266,10 @@ def main():
 
     out = REPO / "results" / "round3" / f"cg_probe_n{n}.json"
     out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():  # merge partial-mode reruns into prior results
+        prior = json.loads(out.read_text())
+        prior.update(results)
+        results = prior
     out.write_text(json.dumps(results, indent=1))
     print(f"-> {out}")
 
