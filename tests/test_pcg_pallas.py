@@ -92,3 +92,23 @@ def test_chunked_exit_converges_no_worse():
         return float(jnp.linalg.norm(r))
 
     assert resid(lam8) <= resid(lam1) * 1.05 + 1e-6
+
+
+def test_lead_layout_bit_identical():
+    """The (j, i, N) lead band layout (the TPU fast path, default) must
+    be bit-identical to the original (i, j, N) layout: _band_spmv_lead
+    keeps _band_spmv's accumulation order, only the band memory layout
+    differs (results/round3/cg_probe_n512.json for the why)."""
+    from mpcgpu_tpu.ops.pallas.pcg_kernel import pcg_pallas_lanes
+
+    kkt = random_kkt(seed=15)
+    sd = form_schur(kkt, RHO)
+    bands = _lanes(sd)
+    g = sd.gamma.T
+    lam0 = jnp.zeros_like(g)
+    lam_lead, it_lead, _ = pcg_pallas_lanes(*bands, g, lam0, 40, 0.0,
+                                            interpret=True, lead=True)
+    lam_base, it_base, _ = pcg_pallas_lanes(*bands, g, lam0, 40, 0.0,
+                                            interpret=True, lead=False)
+    np.testing.assert_array_equal(np.asarray(lam_lead), np.asarray(lam_base))
+    assert int(it_lead) == int(it_base) == 40
