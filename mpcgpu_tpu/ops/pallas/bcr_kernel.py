@@ -134,11 +134,11 @@ def _pcg_loop_bcrM(D, L, U, g, lam0, max_iter, tol):
     for throughput studies / short horizons.
 
     Returns (lam, iters, eta)."""
-    from mpcgpu_tpu.ops.pallas.pcg_kernel import _band_spmv
+    from mpcgpu_tpu.ops.pallas.pcg_kernel import _band_spmv, _dot
 
     r0 = g - _band_spmv(L, D, U, lam0)
     z0 = _bcr_lanes(D, L, U, r0)
-    eta0 = jnp.sum(r0 * z0)
+    eta0 = _dot(r0, z0)
 
     def cond(carry):
         _, _, _, eta, i = carry
@@ -147,11 +147,11 @@ def _pcg_loop_bcrM(D, L, U, g, lam0, max_iter, tol):
     def body(carry):
         lam, r, p, eta, i = carry
         up = _band_spmv(L, D, U, p)
-        alpha = eta / jnp.sum(p * up)
+        alpha = eta / _dot(p, up)
         lam = lam + alpha * p
         r = r - alpha * up
         z = _bcr_lanes(D, L, U, r)
-        eta_new = jnp.sum(r * z)
+        eta_new = _dot(r, z)
         p = z + (eta_new / eta) * p
         return lam, r, p, eta_new, i + 1
 

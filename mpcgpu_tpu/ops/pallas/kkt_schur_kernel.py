@@ -346,6 +346,23 @@ def _spd_inv_tile_kernel(in_ref, out_ref):
     out_ref[:] = ld.spd_inverse_lane(in_ref[:])
 
 
+def _stair_tile_kernel(ti_ref, tip_ref, tin_ref, phi_ref, su_ref,
+                       pl_ref, pu_ref):
+    """Stair off-diagonal products over one lane tile.
+
+    PL = -theta^-1 phi theta_prev^-1, PU = -theta^-1 SU theta_next^-1
+    as in-kernel FMA chains (lanedyn.lane_matmul), the same composition
+    the monolithic N<=128 kernel uses.  Replaces the XLA einsum glue:
+    batched (14,14)x(14,14) matmuls over a trailing N batch axis lower
+    to MXU-padded batched dots that dominate the tiled stage cost at
+    N>=256 (reference stair setup: include/pcg/linsys_setup.cuh:11-49).
+    Boundary masks (m1/mN) are applied by the caller.
+    """
+    ti = ti_ref[:]
+    pl_ref[:] = -ld.lane_matmul(ld.lane_matmul(ti, phi_ref[:]), tip_ref[:])
+    pu_ref[:] = -ld.lane_matmul(ld.lane_matmul(ti, su_ref[:]), tin_ref[:])
+
+
 _TILE = 128
 
 
@@ -449,13 +466,16 @@ def form_kkt_schur_tiled(model: RobotModel, X, U, goals, xs, rho,
         )(theta)
         ti_prev = jnp.roll(theta_inv, 1, axis=2)
         ti_next = jnp.roll(theta_inv, -1, axis=2)
-        # full f32 accumulation: at default precision the MXU would run
-        # these stair products in bf16, degrading the preconditioner
-        hi = jax.lax.Precision.HIGHEST
-        PL = -jnp.einsum("ijn,jkn,kln->iln", theta_inv, phi, ti_prev,
-                         precision=hi) * m1
-        PU = -jnp.einsum("ijn,jkn,kln->iln", theta_inv, SU, ti_next,
-                         precision=hi) * mN
+        PL, PU = pl.pallas_call(
+            _stair_tile_kernel,
+            grid=(tiles,),
+            out_shape=(sds((nx, nx, n), f32), sds((nx, nx, n), f32)),
+            in_specs=[mat(nx, nx)] * 5,
+            out_specs=(mat(nx, nx), mat(nx, nx)),
+            interpret=interpret,
+        )(theta_inv, ti_prev, ti_next, phi, SU)
+        PL = PL * m1
+        PU = PU * mN
         PD = theta_inv
     else:
         PD = jnp.broadcast_to(jnp.eye(nx, dtype=f32)[:, :, None],

@@ -37,6 +37,11 @@ def main():
             if bench:
                 break
     hs3 = load("results/round3/horizon_scaling_tuned.json")
+    # lead-layout PCG kernel rerun (commit 1595d19) supersedes the pcg
+    # rows of the tuned sweep; bcr rows keep their original measurement
+    hs3lead = load("results/round3/horizon_scaling_lead_tuned.json")
+    if hs3 and hs3lead:
+        hs3["rows"].update(hs3lead.get("rows", {}))
     hs = load("results/round2/horizon_scaling.json")
     pc = load("results/round3/pcg_cost_n64.json")
     mb = (load("results/round3/stage_microbench_n64.json")
@@ -68,8 +73,12 @@ def main():
         L.append("")
 
     if hs3:
+        src3 = ("results/round3/horizon_scaling_tuned.json; pcg rows from "
+                "the lead-layout rerun horizon_scaling_lead_tuned.json"
+                if hs3lead else
+                "results/round3/horizon_scaling_tuned.json")
         L.append("## Horizon scaling, TPU-tuned caps, honest protocol "
-                 "(results/round3/horizon_scaling_tuned.json)\n")
+                 f"({src3})\n")
         L.append("Pipelined-dispatch slope timing (utils/benchtime.py): "
                  "pure device time per control update; the remote "
                  "attachment's ~30 ms dispatch+fetch constant is excluded "

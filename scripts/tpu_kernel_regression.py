@@ -137,6 +137,47 @@ def check_bcr_dz(ls, sch, kkt, results, n):
     return ok
 
 
+def check_bcr_pcg_dz(ls, sch, kkt, lam0, results, n):
+    """Warm-started BCR-preconditioned CG hybrid (one fused kernel).
+
+    Gate on the RESIDUAL like check_bcr_dz (the near-exact M converges in
+    a handful of iterations; solution-difference metrics amplify cond(S)),
+    and require the fused kernel to match the portable twin's iteration
+    count (same eta exit policy)."""
+    import jax.numpy as jnp
+
+    import dataclasses
+
+    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.ops.btridiag import spmv
+    from mpcgpu_tpu.ops.btsolve import _solve_linsys_bcr_pcg
+    from mpcgpu_tpu.ops.pallas.bcr_kernel import bcr_pcg_dz_pallas_lanes
+
+    max_iter, tol = 12, 1e-8
+    lam_l, dX, dU, iters, hit = bcr_pcg_dz_pallas_lanes(
+        ls, lam0.T, max_iter, jnp.asarray(tol, jnp.float32), interpret=False)
+    cfg = SolverConfig()
+    cfg = dataclasses.replace(
+        cfg, pcg=dataclasses.replace(cfg.pcg, max_iter=max_iter))
+    lam_ref, iters_ref, _ = _solve_linsys_bcr_pcg(
+        cfg, sch, jnp.asarray(lam0), jnp.asarray(tol, jnp.float32))
+
+    def rel_res(lam):
+        r = np.asarray(spmv(sch.S, jnp.asarray(lam))) - np.asarray(sch.gamma)
+        return float(np.linalg.norm(r) / np.linalg.norm(np.asarray(sch.gamma)))
+
+    errs = {
+        "res_fused": rel_res(np.asarray(lam_l).T),
+        "res_portable": rel_res(np.asarray(lam_ref)),
+        "iters_fused": int(iters),
+        "iters_ref": int(iters_ref),
+    }
+    ok = (errs["res_fused"] < max(10.0 * errs["res_portable"], 1e-4)
+          and abs(errs["iters_fused"] - errs["iters_ref"]) <= 1)
+    results[f"bcr_pcg_dz_n{n}"] = {"ok": ok, **errs}
+    return ok
+
+
 def check_merit(model, X, U, goals, xs, results, n):
     import jax.numpy as jnp
 
@@ -395,6 +436,9 @@ def main():
                 checks.insert(1, ("bcr_dz",
                                   lambda: check_bcr_dz(ls, sch, kkt,
                                                        results, n)))
+                checks.insert(2, ("bcr_pcg_dz",
+                                  lambda: check_bcr_pcg_dz(ls, sch, kkt,
+                                                           lam, results, n)))
             if n <= 128 and (n & (n - 1)) == 0:
                 checks.append(
                     ("megakernel",
@@ -427,6 +471,7 @@ def main():
               f"{'OK' if all_ok else 'FAILURES (see json)'}")
         for key in (f"kkt_schur_n{n}", f"pcg_dz_n{n}",
                     f"pcg_dz_chunked_n{n}", f"bcr_dz_n{n}",
+                    f"bcr_pcg_dz_n{n}",
                     f"merit_n{n}", f"megakernel_n{n}",
                     f"megakernel_pcg_n{n}", f"megakernel_solve_n{n}",
                     f"envelope_n{n}"):

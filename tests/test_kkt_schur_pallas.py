@@ -123,3 +123,38 @@ def test_kernel_gauss_newton_and_noprecond(iiwa, traj_0_0):
                                rtol=1e-2, atol=2e-1)
     np.testing.assert_allclose(lane(ls.PD), np.asarray(sd.Pinv.diag),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_stair_tile_kernel_matches_einsum():
+    """The tiled path's stair off-diagonal products (PL/PU) as a gridded
+    Pallas kernel must match the batched-einsum formulation it replaced
+    (reference stair setup: include/pcg/linsys_setup.cuh:11-49)."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import _stair_tile_kernel
+
+    rng = np.random.default_rng(3)
+    nx, n = 14, 256
+    f32 = jnp.float32
+    ti = jnp.asarray(rng.standard_normal((nx, nx, n)), f32)
+    phi = jnp.asarray(rng.standard_normal((nx, nx, n)), f32)
+    su = jnp.asarray(rng.standard_normal((nx, nx, n)), f32)
+    tip = jnp.roll(ti, 1, axis=2)
+    tin = jnp.roll(ti, -1, axis=2)
+
+    sds = jax.ShapeDtypeStruct
+    mat = pl.BlockSpec((nx, nx, 128), lambda t: (0, 0, t))
+    PL, PU = pl.pallas_call(
+        _stair_tile_kernel, grid=(2,),
+        out_shape=(sds((nx, nx, n), f32), sds((nx, nx, n), f32)),
+        in_specs=[mat] * 5, out_specs=(mat, mat), interpret=True,
+    )(ti, tip, tin, phi, su)
+
+    hi = jax.lax.Precision.HIGHEST
+    PLr = -jnp.einsum("ijn,jkn,kln->iln", ti, phi, tip, precision=hi)
+    PUr = -jnp.einsum("ijn,jkn,kln->iln", ti, su, tin, precision=hi)
+    np.testing.assert_allclose(np.asarray(PL), np.asarray(PLr),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(PU), np.asarray(PUr),
+                               rtol=1e-5, atol=1e-5)
