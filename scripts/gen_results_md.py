@@ -42,6 +42,10 @@ def main():
     hs3lead = load("results/round3/horizon_scaling_lead_tuned.json")
     if hs3 and hs3lead:
         hs3["rows"].update(hs3lead.get("rows", {}))
+    # stair-tile kernel rerun supersedes the N>=256 pcg rows again
+    hs3stair = load("results/round3/horizon_scaling_stairtile.json")
+    if hs3 and hs3stair:
+        hs3["rows"].update(hs3stair.get("rows", {}))
     hs = load("results/round2/horizon_scaling.json")
     pc = load("results/round3/pcg_cost_n64.json")
     mb = (load("results/round3/stage_microbench_n64.json")
@@ -73,10 +77,13 @@ def main():
         L.append("")
 
     if hs3:
-        src3 = ("results/round3/horizon_scaling_tuned.json; pcg rows from "
-                "the lead-layout rerun horizon_scaling_lead_tuned.json"
-                if hs3lead else
-                "results/round3/horizon_scaling_tuned.json")
+        src3 = "results/round3/horizon_scaling_tuned.json"
+        if hs3lead:
+            src3 += ("; pcg rows from the lead-layout rerun "
+                     "horizon_scaling_lead_tuned.json")
+        if hs3stair:
+            src3 += ("; N>=256 pcg rows from the stair-tile-kernel rerun "
+                     "horizon_scaling_stairtile.json")
         L.append("## Horizon scaling, TPU-tuned caps, honest protocol "
                  f"({src3})\n")
         L.append("Pipelined-dispatch slope timing (utils/benchtime.py): "
