@@ -52,6 +52,11 @@ def main() -> int:
                     help="throughput mode: track B independent arms "
                     "concurrently (vmap over the closed loop); reports "
                     "aggregate control updates/s per chip")
+    ap.add_argument("--packed", action="store_true",
+                    help="with --batch: pack the B arms into one lane "
+                    "batch solved by the arm-packed whole-solve "
+                    "megakernel (B*N <= 128) instead of vmapping the "
+                    "portable path")
     ap.add_argument("--pcg-max-iter", type=int, default=None)
     ap.add_argument("--pcg-exit-tol", type=float, default=None)
     ap.add_argument("--pcg-check-every", type=int, default=None,
@@ -117,14 +122,22 @@ def main() -> int:
 
     # compile + correctness pass
     if args.batch > 1:
-        from mpcgpu_tpu.sim import simulate_mpc_scan_batched
+        from mpcgpu_tpu.sim import (simulate_mpc_scan_batched,
+                                    simulate_mpc_scan_packed)
 
-        run = lambda: simulate_mpc_scan_batched(
-            model, cfg, xu_j, ee_j, X, U, lam, rho, tol, n_updates,
-            linsys, batch=args.batch)
+        if args.packed:
+            run = lambda: simulate_mpc_scan_packed(
+                model, cfg, xu_j, ee_j, X, U, lam, rho, tol, n_updates,
+                batch=args.batch)
+        else:
+            run = lambda: simulate_mpc_scan_batched(
+                model, cfg, xu_j, ee_j, X, U, lam, rho, tol, n_updates,
+                linsys, batch=args.batch)
         out = run()
         errs = np.asarray(out["tracking_errors"])       # (B, n_updates)
-        shifted = np.asarray(out["shifted"][0])
+        shifted = np.asarray(out["shifted"])
+        if shifted.ndim > 1:        # vmapped mode stacks the shared schedule
+            shifted = shifted[0]
         te = errs[:, shifted]
     else:
         run = lambda: simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, lam,
@@ -154,6 +167,7 @@ def main() -> int:
                 "device": str(jax.devices()[0]),
                 "linsys": linsys,
                 "batch": args.batch,
+                "packed": bool(args.packed),
                 "us_per_batched_update": round(per_update, 1),
                 "arm_rate_hz": round(1e6 / per_update, 1),
                 "within_budget": per_update <= budget_us,

@@ -44,7 +44,7 @@ from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.ops.pallas import lanedyn as ld
 from mpcgpu_tpu.ops.pallas.bcr_kernel import _bcr_refined
 from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import _lane_mask, _perknot
-from mpcgpu_tpu.ops.pallas.pcg_kernel import _pcg_loop
+from mpcgpu_tpu.ops.pallas.pcg_kernel import _band_spmv_lead, _pcg_loop
 
 
 def _line_search(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
@@ -267,8 +267,16 @@ def _iteration_pcg(nq: int, nu: int, dt: float, qd_cost: float,
         phi, theta, SU = _canon(phi), _canon(theta), _canon(SU)
         PL, theta_inv, PU = _canon(PL), _canon(theta_inv), _canon(PU)
         gamma = _canon(gamma)
-    lam, iters, eta = _pcg_loop(phi, theta, SU, PL, theta_inv, PU,
-                                gamma, lam0, max_iter, tol)
+    # lead (j, i, N) band layout: one swapaxes per band per SQP iteration
+    # buys leading-dim slab picks instead of sublane extracts in EVERY CG
+    # iteration (see pcg_kernel._band_spmv_lead; bit-identical results)
+    phi_t, theta_t, SU_t = (ld.lane_transpose(phi), ld.lane_transpose(theta),
+                            ld.lane_transpose(SU))
+    PL_t, PD_t, PU_t = (ld.lane_transpose(PL), ld.lane_transpose(theta_inv),
+                        ld.lane_transpose(PU))
+    lam, iters, eta = _pcg_loop(phi_t, theta_t, SU_t, PL_t, PD_t, PU_t,
+                                gamma, lam0, max_iter, tol,
+                                spmv=_band_spmv_lead)
     hit = (jnp.abs(eta) > tol).astype(jnp.int32)
 
     # ---- primal recovery (common/dz.cuh:125 semantics)
@@ -414,6 +422,364 @@ def _solve_kernel_pcg(nq: int, nu: int, n_sqp_iter: int, dt: float,
     iters_out[:] = iters_v
     hit_out[:] = hit_v
     accept_out[:] = acc_v
+
+
+# ---------------------------------------------------------------------------
+# Arm-packed variant: B independent arms share the 128-lane width
+# (lanes b = a*N + k).  One v5e chip is one TensorCore, so on-chip
+# multi-arm throughput is LANE FILL: at N=64 a single arm leaves half
+# the lanes idle; packing B arms with B*N <= 128 runs them for the
+# price of one (results/round3/batched_throughput.json documented the
+# vmap route's failure; this is the batch-grid fix it called for).
+# All cross-knot rolls stay full-width -- the per-arm edge masks
+# (k = lane % N) zero the band blocks whose circular wrap-around would
+# couple neighboring arms, exactly like the single-arm edge blocks.
+# Scalars (rho, merit, accept, ...) become per-arm LANE ROWS (1, B*N),
+# constant within each arm's segment; CG dots reduce per arm via
+# segment masks.
+# ---------------------------------------------------------------------------
+
+
+def _arm_lane_masks(b_arms: int, n_arm: int, dtype):
+    nt = b_arms * n_arm
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+    return [((lane // n_arm) == a).astype(dtype) for a in range(b_arms)]
+
+
+def _seg_masks(n_arm: int, nt: int, dtype):
+    """Per-arm edge masks at full width: m1 (k >= 1), mN (k <= N-2),
+    k = lane % n_arm."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1) % n_arm
+    return (k >= 1).astype(dtype), (k <= n_arm - 2).astype(dtype)
+
+
+def _pdot(a, b, arm_masks):
+    """Per-arm <a, b>: (1, nt) row, each arm's dot broadcast over its
+    own lane segment (the packed CG's alpha/beta are per-arm)."""
+    rows = jnp.sum(a * b, axis=0, keepdims=True)
+    out = rows * 0.0
+    for m in arm_masks:
+        out = out + m * jnp.sum(rows * m)
+    return out
+
+
+def _safe_div(num, den):
+    """num/den with 0/0 -> 0: a converged arm (r = 0 exactly) freezes
+    instead of poisoning its lanes with NaN while other arms iterate."""
+    live = jnp.abs(num) > 0
+    return jnp.where(live, num / jnp.where(live, den, 1.0), 0.0)
+
+
+def _pcg_loop_packed(SLt, SDt, SUt, PLt, PDt, PUt, gamma, lam0, max_iter,
+                     tol, arm_masks):
+    """_pcg_loop with per-arm dots (lead-layout bands).  Runs until every
+    arm meets the tolerance or the shared cap.  Returns (lam, iters,
+    eta (1, nt) per-arm)."""
+    r0 = gamma - _band_spmv_lead(SLt, SDt, SUt, lam0)
+    rt0 = _band_spmv_lead(PLt, PDt, PUt, r0)
+    eta0 = _pdot(r0, rt0, arm_masks)
+
+    def step(carry):
+        lam, r, p, eta, i = carry
+        ups = _band_spmv_lead(SLt, SDt, SUt, p)
+        alpha = _safe_div(eta, _pdot(p, ups, arm_masks))
+        lam = lam + alpha * p
+        r = r - alpha * ups
+        rt = _band_spmv_lead(PLt, PDt, PUt, r)
+        eta_new = _pdot(r, rt, arm_masks)
+        p = rt + _safe_div(eta_new, eta) * p
+        return lam, r, p, eta_new, i + 1
+
+    def cond(carry):
+        _, _, _, eta, i = carry
+        return jnp.logical_and(i < max_iter, jnp.max(jnp.abs(eta)) > tol)
+
+    lam, _r, _p, eta, iters = jax.lax.while_loop(
+        cond, step, (lam0, r0, rt0, eta0, jnp.int32(0)))
+    return lam, iters, eta
+
+
+def _line_search_packed(nq: int, nu: int, dt: float, qd_cost: float,
+                        r_cost: float, integrator_type: int, gravity: float,
+                        mu: float, num_alphas: int, b_arms: int, n_arm: int,
+                        X, U, dX, dU, goals, xs_l,
+                        x_tab, h_tab, I_tab, wrap: bool = False,
+                        tracking: str = "eepos", q_cost: float = 1.0):
+    """_line_search for packed arms: candidate-major, arm-middle lane
+    batch b = c*(B*N) + a*N + k, merit reduced per (candidate, arm),
+    argmin per arm.  xs_l is (nx, B*N) with each arm's start state
+    broadcast over its segment (only the k=0 lane survives the mask).
+    Returns per-arm lane rows (best_merit (1, B*N), best_alpha (1, B*N)).
+    num_alphas=1 with dX=dU=0 evaluates the incumbent merit."""
+    nt = b_arms * n_arm
+    dtype = X.dtype
+    alphas = [1.0 / 2 ** i for i in range(num_alphas)]
+    one = _lane_mask(nt, 0, nt, dtype)
+    Xc = jnp.concatenate([X + (a * one) * dX for a in alphas], axis=1)
+    Uc = jnp.concatenate([U + (a * one) * dU for a in alphas], axis=1)
+    goals_c = jnp.concatenate([goals] * num_alphas, axis=1)
+    xs_c = jnp.concatenate([xs_l] * num_alphas, axis=1)
+
+    b = jax.lax.broadcasted_iota(jnp.int32, (1, num_alphas * nt), 1)
+    k_idx = b % n_arm
+    mc_last = (k_idx < n_arm - 1).astype(dtype)
+    mc0 = (k_idx == 0).astype(dtype)
+
+    q_c, qd_c = Xc[:nq], Xc[nq:]
+    if tracking == "joint":
+        dq_c = q_c - goals_c[:nq]
+        dqd_c = qd_c - goals_c[nq:]
+        cost = 0.5 * q_cost * ld.row_sum(dq_c * dq_c)
+        cost = cost + 0.5 * qd_cost * ld.row_sum(dqd_c * dqd_c)
+    else:
+        ee = ld.fk_ee_xyz(h_tab, q_c)
+        e3 = ee - goals_c
+        cost = 0.5 * ld.row_sum(e3 * e3)
+        cost = cost + 0.5 * qd_cost * ld.row_sum(qd_c * qd_c)
+    cost = cost + mc_last * 0.5 * r_cost * ld.row_sum(Uc * Uc)
+    qdd_c = ld.aba_qdd(x_tab, I_tab, q_c, qd_c, Uc, gravity)
+    if integrator_type == 0:
+        qn = q_c + dt * qd_c
+        qdn = qd_c + dt * qdd_c
+    else:
+        qdn = qd_c + dt * qdd_c
+        qn = q_c + dt * qdn
+    if wrap:
+        from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import _wrap_lane
+
+        qn = _wrap_lane(qn)
+    f_c = jnp.concatenate([qn, qdn], axis=0)
+    xc_next = pltpu.roll(Xc, Xc.shape[1] - 1, axis=1)
+    defect = ld.row_sum(jnp.abs(xc_next - f_c)) * mc_last
+    c0 = ld.row_sum(jnp.abs(Xc - xs_c)) * mc0
+    contrib = cost + mu * (defect + c0)        # (1, A*B*N)
+
+    # per-(candidate, arm) reduction: group index g = c*B + a
+    grp = b // n_arm
+    arm_masks = _arm_lane_masks(b_arms, n_arm, dtype)
+    best_merit = jnp.zeros((1, nt), dtype)
+    best_alpha = jnp.zeros((1, nt), dtype)
+    for a in range(b_arms):
+        bm = jnp.sum(jnp.where(grp == a, contrib, 0.0))
+        ba = jnp.asarray(alphas[0], dtype)
+        for i in range(1, num_alphas):
+            m_i = jnp.sum(jnp.where(grp == i * b_arms + a, contrib, 0.0))
+            take = m_i < bm
+            ba = jnp.where(take, jnp.asarray(alphas[i], dtype), ba)
+            bm = jnp.where(take, m_i, bm)
+        best_merit = best_merit + arm_masks[a] * bm
+        best_alpha = best_alpha + arm_masks[a] * ba
+    return best_merit, best_alpha
+
+
+def _iteration_pcg_packed(nq: int, nu: int, dt: float, qd_cost: float,
+                          r_cost: float, integrator_type: int,
+                          gravity: float, hessian: str, mu: float,
+                          num_alphas: int, rho_factor: float, rho_min: float,
+                          rho_max: float, rho_reset: float, wrap: bool,
+                          tracking: str, q_cost: float, b_arms: int,
+                          n_arm: int,
+                          X, U, goals, xs_l, lam0, rho_l, drho_l,
+                          merit_prev_l, max_iter, tol,
+                          x_tab, h_tab, dh_tab, I_tab):
+    """_iteration_pcg for B packed arms: identical stage structure, with
+    per-arm edge masks, per-arm CG dots, and per-arm accept/rho rows.
+    rho_l/drho_l/merit_prev_l are (1, B*N) per-arm lane rows.  Returns
+    (X', U', lam, rho', drho', merit', accept (1,nt) bool, bail (1,nt)
+    bool, iters, eta)."""
+    nt = X.shape[1]
+    dtype = X.dtype
+
+    # rho enters _perknot only as Q/R regularization -- a (1, nt) lane row
+    # broadcasts through Q + rho*I per knot, giving each arm its own rho
+    (A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = _perknot(
+        nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
+        rho_l, X, U, goals, x_tab, h_tab, dh_tab, I_tab,
+        wrap=wrap, tracking=tracking, q_cost=q_cost,
+    )
+
+    m1v, mNv = _seg_masks(n_arm, nt, dtype)
+    m1 = m1v[None]
+    mN = mNv[None]
+    x_next = pltpu.roll(X, nt - 1, axis=1)
+    err = x_next - f_pred
+    c = pltpu.roll(err, 1, axis=1) * m1v
+    theta = Qinv + pltpu.roll(T, 1, axis=2) * m1
+    phi = -pltpu.roll(AQi, 1, axis=2) * m1
+    SU = -ld.lane_transpose(AQi) * mN
+    gamma = Qiq - pltpu.roll(t_vec, 1, axis=1) * m1v - c
+
+    theta_inv = ld.spd_inverse_lane(theta)
+    PL = -ld.lane_matmul(
+        ld.lane_matmul(theta_inv, phi), pltpu.roll(theta_inv, 1, axis=2)
+    ) * m1
+    PU = -ld.lane_matmul(
+        ld.lane_matmul(theta_inv, SU), pltpu.roll(theta_inv, nt - 1, axis=2)
+    ) * mN
+
+    arm_masks = _arm_lane_masks(b_arms, n_arm, dtype)
+    lam, iters, eta = _pcg_loop_packed(
+        ld.lane_transpose(phi), ld.lane_transpose(theta),
+        ld.lane_transpose(SU), ld.lane_transpose(PL),
+        ld.lane_transpose(theta_inv), ld.lane_transpose(PU),
+        gamma, lam0, max_iter, tol, arm_masks)
+
+    lam_next = pltpu.roll(lam, nt - 1, axis=1) * mNv
+    At_lam = ld.lane_matvec_T(A, lam_next) * mNv
+    dX = -ld.lane_matvec(Qinv, qg - lam + At_lam)
+    dU = -ld.lane_matvec(Rinv, rg + ld.lane_matvec_T(Bm, lam_next)) * mNv
+
+    best_merit_l, best_alpha_l = _line_search_packed(
+        nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, mu,
+        num_alphas, b_arms, n_arm, X, U, dX, dU, goals, xs_l,
+        x_tab, h_tab, I_tab, wrap=wrap, tracking=tracking, q_cost=q_cost,
+    )
+    accept, step, rho_new, drho_new, merit_new, bail = _rho_schedule(
+        rho_l, drho_l, merit_prev_l, best_merit_l, best_alpha_l,
+        rho_factor, rho_min, rho_max, rho_reset, dtype,
+    )
+    return (X + step * dX, U + step * dU, lam, rho_new, drho_new,
+            merit_new, accept, bail, iters, eta)
+
+
+def _solve_kernel_pcg_packed(nq: int, nu: int, n_sqp_iter: int, b_arms: int,
+                             dt: float, qd_cost: float, r_cost: float,
+                             integrator_type: int, gravity: float,
+                             hessian: str, mu: float, num_alphas: int,
+                             rho_factor: float, rho_min: float,
+                             rho_max: float, rho_reset: float,
+                             wrap: bool, tracking: str, q_cost: float,
+                             max_iter_ref, tol_ref,
+                             x_ref, u_ref, goals_ref, xs_ref, lam0_ref,
+                             rho_ref, drho_ref,
+                             hc, hs, hk, dhc, dhs, dhk, xc, xs_t, xk, i_ref,
+                             x_out, u_out, lam_out, rho_out, drho_out,
+                             merit_out, it_out, bailed_out, pcg_out):
+    """The whole packed SQP solve in one dispatch: per-arm rho-bail
+    freezes that arm's lanes while the rest keep iterating (per-arm
+    analogue of _solve_kernel_pcg's done flag).  The incumbent merit is
+    evaluated in-kernel (1-candidate packed line search), so no merit0
+    input is needed."""
+    x_tab = (xc[:], xs_t[:], xk[:])
+    h_tab = (hc[:], hs[:], hk[:])
+    dh_tab = (dhc[:], dhs[:], dhk[:])
+    I_tab = i_ref[:]
+    goals = goals_ref[:]
+    xs_l = xs_ref[:]
+    max_iter = max_iter_ref[0]
+    tol = tol_ref[0]
+    X0 = x_ref[:]
+    U0 = u_ref[:]
+    nt = X0.shape[1]
+    n_arm = nt // b_arms
+    dtype = X0.dtype
+
+    merit0_l, _ = _line_search_packed(
+        nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, mu,
+        1, b_arms, n_arm, X0, U0, X0 * 0.0, U0 * 0.0, goals, xs_l,
+        x_tab, h_tab, I_tab, wrap=wrap, tracking=tracking, q_cost=q_cost,
+    )
+
+    def body(_i, carry):
+        X, U, lam, rho_l, drho_l, merit_l, done_l, itc_l, pcg_tot = carry
+        (Xn, Un, lamn, rhon, drhon, meritn, _accept, bail, iters,
+         _eta) = _iteration_pcg_packed(
+            nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
+            mu, num_alphas, rho_factor, rho_min, rho_max, rho_reset,
+            wrap, tracking, q_cost, b_arms, n_arm,
+            X, U, goals, xs_l, lam, rho_l, drho_l, merit_l,
+            max_iter, tol, x_tab, h_tab, dh_tab, I_tab,
+        )
+        live = jnp.logical_not(done_l)          # (1, nt) per-arm
+        sel = lambda new, old: jnp.where(live, new, old)
+        return (
+            sel(Xn, X), sel(Un, U), sel(lamn, lam),
+            sel(rhon, rho_l), sel(drhon, drho_l), sel(meritn, merit_l),
+            jnp.logical_or(done_l, jnp.logical_and(live, bail)),
+            itc_l + live.astype(jnp.int32),
+            pcg_tot + jnp.where(jnp.any(live), iters, 0),
+        )
+
+    init = (X0, U0, lam0_ref[:], rho_ref[:], drho_ref[:], merit0_l,
+            jnp.zeros((1, nt), jnp.bool_), jnp.zeros((1, nt), jnp.int32),
+            jnp.int32(0))
+    (X, U, lam, rho_l, drho_l, merit_l, done_l, itc_l,
+     pcg_tot) = jax.lax.fori_loop(0, n_sqp_iter, body, init)
+
+    x_out[:] = X
+    u_out[:] = U
+    lam_out[:] = lam
+    rho_out[:] = rho_l
+    drho_out[:] = drho_l
+    merit_out[:] = merit_l
+    it_out[:] = itc_l
+    bailed_out[:] = done_l.astype(jnp.int32)
+    pcg_out[0] = pcg_tot
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b_arms", "n_sqp_iter", "dt", "qd_cost", "r_cost",
+                     "integrator_type", "gravity", "hessian", "mu",
+                     "num_alphas", "rho_factor", "rho_min", "rho_max",
+                     "rho_reset", "wrap", "tracking", "q_cost", "interpret"),
+)
+def sqp_solve_mega_pcg_packed(model: RobotModel, Xl, Ul, goals_l, xs_l,
+                              lam0_l, rho_l, drho_l, max_iter, exit_tol,
+                              b_arms: int, n_sqp_iter: int,
+                              dt: float, qd_cost: float, r_cost: float,
+                              integrator_type: int, gravity: float,
+                              hessian: str, mu: float, num_alphas: int,
+                              rho_factor: float, rho_min: float,
+                              rho_max: float, rho_reset: float,
+                              wrap: bool = False, tracking: str = "eepos",
+                              q_cost: float = 1.0, interpret: bool = None):
+    """Whole SQP solve for B arms packed into one lane batch, ONE Pallas
+    dispatch.  Xl (nx, B*N), Ul (nu, B*N; each arm's lane N-1 zero),
+    goals_l ((3, B*N) ee / (nx, B*N) joint refs), xs_l (nx, B*N; per-arm
+    start broadcast over its segment), lam0_l (nx, B*N) warm duals,
+    rho_l/drho_l (1, B*N) per-arm rows.  B*N <= 128 (single-tile limit
+    of the tangent-RNEA stage), num_alphas*B*N <= 1024.  Returns
+    (Xl', Ul', lam_l, rho_l', merit_l', sqp_iters_l (1, B*N) int32,
+    bailed_l (1, B*N) bool, pcg_iters_total int32)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nx, nt = Xl.shape
+    nu = Ul.shape[0]
+    nq = nx // 2
+    f32 = Xl.dtype
+    assert nt % b_arms == 0 and nt <= 128
+    assert num_alphas * nt <= 1024
+    kern = functools.partial(
+        _solve_kernel_pcg_packed, nq, nu, int(n_sqp_iter), int(b_arms),
+        float(dt), float(qd_cost), float(r_cost), int(integrator_type),
+        float(gravity), str(hessian), float(mu), int(num_alphas),
+        float(rho_factor), float(rho_min), float(rho_max), float(rho_reset),
+        bool(wrap), str(tracking), float(q_cost),
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    sds = jax.ShapeDtypeStruct
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            sds((nx, nt), f32), sds((nu, nt), f32), sds((nx, nt), f32),
+            sds((1, nt), f32), sds((1, nt), f32), sds((1, nt), f32),
+            sds((1, nt), jnp.int32), sds((1, nt), jnp.int32),
+            sds((1,), jnp.int32),
+        ),
+        in_specs=[smem, smem] + [vmem] * 17,
+        out_specs=(vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem, smem),
+        interpret=interpret,
+    )(
+        jnp.asarray(max_iter, jnp.int32).reshape(1),
+        jnp.asarray(exit_tol, f32).reshape(1),
+        Xl, Ul, goals_l, xs_l, lam0_l, rho_l, drho_l,
+        model.Hc, model.Hs, model.Hk, model.dHc, model.dHs, model.dHk,
+        model.Xc, model.Xs, model.Xk, model.I,
+    )
+    (Xn, Un, lam_l, rho_n, _drho_n, merit_n, itc, bailed, pcg_tot) = outs
+    return (Xn, Un, lam_l, rho_n, merit_n, itc, bailed != 0, pcg_tot[0])
 
 
 @functools.partial(

@@ -512,3 +512,124 @@ def simulate_mpc_scan_batched(model: RobotModel, cfg: SolverConfig, xu_traj,
         model, cfg, xu_traj, ee_traj, Xi, Ui, li, rho, pcg_exit_tol,
         n_updates, linsys)
     return jax.vmap(run)(Xb, Ub, lamb)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_updates", "batch"))
+def simulate_mpc_scan_packed(model: RobotModel, cfg: SolverConfig, xu_traj,
+                             ee_traj, X, U, lam, rho, pcg_exit_tol,
+                             n_updates: int, batch: int = 2, seed: int = 0):
+    """Real-time multi-arm: B arms PACKED into one lane batch, solved by
+    the arm-packed whole-solve megakernel (ONE Pallas dispatch per
+    control update for all B arms).
+
+    This is the batch-grid fix the vmap route couldn't deliver
+    (results/round3/batched_throughput.json): one v5e chip is one
+    TensorCore, so on-chip multi-arm throughput is lane fill -- at N=64 a
+    single arm uses 64 of 128 lanes; B=2 packs two arms into the idle
+    half and runs both for ~the price of one.  B*N <= 128.
+
+    All arms track the same recorded trajectory from independently
+    perturbed start states (same instance construction as
+    simulate_mpc_scan_batched); the shift schedule, goals, and refill
+    source are shared, while xs/X/U/lam/rho evolve per arm.  Plant
+    rollout and horizon shift run vmapped outside the kernel (portable
+    path -- per-arm cost is small against the packed solve).
+
+    Returns per-update stats with a leading (B,) axis for tracking
+    errors and per-arm SQP iterations.
+    """
+    n = cfg.knot_points
+    nx, nu = cfg.state_size, cfg.nu
+    assert batch * n <= 128, "packed arms exceed the single-tile lane width"
+    cfg_roll = dataclasses.replace(cfg, pallas_stages=False)
+
+    from mpcgpu_tpu.ops.pallas.sqp_megakernel import sqp_solve_mega_pcg_packed
+
+    key = jax.random.PRNGKey(seed)
+    dq = 0.02 * jax.random.normal(key, (batch, cfg.nq), X.dtype)
+    Xb = jnp.broadcast_to(X, (batch,) + X.shape)
+    Xb = Xb.at[:, 0, :cfg.nq].add(dq)
+    Ub = jnp.broadcast_to(U, (batch,) + U.shape)
+    lamb = jnp.broadcast_to(lam, (batch,) + lam.shape)
+    rho_b = jnp.full((batch,), rho, X.dtype)
+
+    do_shift, offsets = make_shift_schedule(cfg, n_updates)
+    goals0 = jax.lax.dynamic_slice_in_dim(ee_traj, 0, n, axis=0)
+    xs0_b = Xb[:, 0]
+    max_substeps = max(
+        1, int(np.ceil(cfg.simulation_period_us * 1e-6 / cfg.sim_step_time)) + 1
+    )
+    period = cfg.simulation_period_us
+
+    pack = lambda Ab: jnp.reshape(jnp.transpose(Ab, (2, 0, 1)), (-1, batch * n))
+    unpack = lambda Al: jnp.transpose(
+        jnp.reshape(Al, (Al.shape[0], batch, n)), (1, 2, 0))
+
+    def body(carry, inputs):
+        xs_b, Xb, Ub, goals, lam_b, rho_b, Uprev_b, first = carry
+        shift_now, off = inputs
+
+        # ---- pack B arms into the lane batch and run ONE packed solve
+        Xl = pack(Xb)
+        Ul = pack(jnp.concatenate(
+            [Ub, jnp.zeros((batch, 1, nu), Ub.dtype)], axis=1))
+        laml = pack(lam_b)
+        g_arm = goals.T if cfg.cost.tracking == "joint" else goals[:, :3].T
+        goals_l = jnp.tile(g_arm, (1, batch))
+        xs_l = jnp.repeat(xs_b.T, n, axis=1)
+        rho_l = jnp.repeat(rho_b, n)[None]
+        drho_l = jnp.ones_like(rho_l)
+
+        (Xn_l, Un_l, lam_l, rho_l_n, _merit_l, itc_l, bailed_l,
+         pcg_tot) = sqp_solve_mega_pcg_packed(
+            model, Xl, Ul, goals_l, xs_l, laml, rho_l, drho_l,
+            cfg.pcg.max_iter, pcg_exit_tol, batch, cfg.sqp_max_iter,
+            cfg.timestep, cfg.cost.qd_cost, cfg.cost.r_cost,
+            cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
+            cfg.merit_mu, cfg.num_alphas, cfg.rho_factor, cfg.rho_min,
+            cfg.rho_max, cfg.rho_reset, cfg.angle_wrap,
+            cfg.cost.tracking, cfg.cost.q_cost,
+        )
+        Xb = unpack(Xn_l)
+        Ub = unpack(Un_l)[:, :-1]
+        lam_b = unpack(lam_l)
+        rho_b = rho_l_n[0, ::n]
+        itc_b = itc_l[0, ::n]
+        bail_b = bailed_l[0, ::n]
+
+        # ---- plant rollout + tracking error, per arm (portable path;
+        # the fused rollout kernel's SMEM scalars don't vmap)
+        offset_us = jnp.where(first, 0.0, period)
+        xs_b, err_b = jax.vmap(
+            lambda xsa, Upa: _rollout_and_error(
+                model, cfg_roll, xsa, Upa, goals, offset_us, period,
+                max_substeps))(xs_b, Uprev_b)
+        Uprev_b = Ub
+
+        # ---- shared-schedule horizon shift, per arm
+        Xs_b, Us_b, Gs_b, Ls_b = jax.vmap(
+            lambda Xa, Ua, La: _shift_horizon(Xa, Ua, goals, La, xu_traj,
+                                              ee_traj, off))(Xb, Ub, lam_b)
+        sel = lambda a, b: jnp.where(shift_now, a, b)
+        Xb = sel(Xs_b, Xb)
+        Ub = sel(Us_b, Ub)
+        goals = sel(Gs_b[0], goals)
+        lam_b = sel(Ls_b, lam_b)
+        Xb = Xb.at[:, 0].set(xs_b)
+
+        out = (err_b, shift_now, itc_b, pcg_tot, bail_b, xs_b)
+        return (xs_b, Xb, Ub, goals, lam_b, rho_b, Uprev_b,
+                jnp.bool_(False)), out
+
+    init = (xs0_b, Xb, Ub, goals0, lamb, rho_b, Ub, jnp.bool_(True))
+    carry, outs = jax.lax.scan(body, init, (do_shift, offsets))
+    errs, shifted, sqp_iters, pcg_iters, bails, path = outs
+    return {
+        "tracking_errors": errs.T,        # (B, n_updates)
+        "shifted": shifted,
+        "sqp_iters": sqp_iters.T,
+        "pcg_iters_total": pcg_iters,
+        "rho_bailed": bails.T,
+        "tracking_path": jnp.transpose(path, (1, 0, 2)),
+        "final_xs": carry[0],
+    }

@@ -362,6 +362,84 @@ def check_megakernel_solve(model, X, U, lam, goals, xs, results, n):
     return ok
 
 
+def check_packed_arms(model, X, U, lam, goals, xs, results, n, b_arms=2):
+    """The arm-packed whole-solve megakernel (B arms sharing the lane
+    batch, per-arm dots / edge masks / rho rows) must reproduce B
+    independent single-arm whole-solve megakernels.  Per-arm reductions
+    sum over the padded full width, so expect float-tolerance agreement
+    and identical decisions, not bitwise."""
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.ops.pallas.merit_kernel import line_search_merits_pallas
+    from mpcgpu_tpu.ops.pallas.sqp_megakernel import (
+        sqp_solve_mega_pcg, sqp_solve_mega_pcg_packed)
+
+    cfg = SolverConfig.for_knots(n, sqp_max_iter=4)
+    f32 = jnp.float32
+    nx, nu = cfg.state_size, cfg.nu
+    k_sqp, cap = 4, 16
+    rng = np.random.default_rng(11)
+    Xb = jnp.stack([
+        jnp.asarray(np.asarray(X) + 0.02 * rng.normal(size=X.shape), f32)
+        for _ in range(b_arms)])
+    tol = jnp.asarray(1e-9, f32)
+
+    def merit_of(Xa):
+        return line_search_merits_pallas(
+            model, Xa, U, jnp.zeros_like(Xa), jnp.zeros_like(U),
+            cfg.num_alphas, goals, Xa[0], cfg.timestep, cfg.merit_mu,
+            cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
+            cfg.gravity, cfg.angle_wrap, cfg.cost.tracking,
+            cfg.cost.q_cost)[cfg.num_alphas]
+
+    static = (cfg.timestep, cfg.cost.qd_cost, cfg.cost.r_cost,
+              cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
+              cfg.merit_mu, cfg.num_alphas, cfg.rho_factor, cfg.rho_min,
+              cfg.rho_max, cfg.rho_reset, cfg.angle_wrap,
+              cfg.cost.tracking, cfg.cost.q_cost)
+    singles = []
+    for a in range(b_arms):
+        Xa = Xb[a]
+        Ul = jnp.concatenate([U, jnp.zeros((1, nu), f32)]).T
+        singles.append(sqp_solve_mega_pcg(
+            model, Xa.T, Ul, goals[:, :3].T, Xa[0], lam.T,
+            jnp.asarray(1e-3, f32), jnp.asarray(1.0, f32), merit_of(Xa),
+            cap, tol, k_sqp, *static))
+
+    pack = lambda Ab: jnp.reshape(
+        jnp.transpose(Ab, (2, 0, 1)), (-1, b_arms * n))
+    Ub = jnp.broadcast_to(U, (b_arms,) + U.shape)
+    Xl = pack(Xb)
+    Ul = pack(jnp.concatenate([Ub, jnp.zeros((b_arms, 1, nu), f32)],
+                              axis=1))
+    laml = pack(jnp.broadcast_to(lam, (b_arms,) + lam.shape))
+    goals_l = jnp.tile(goals[:, :3].T, (1, b_arms))
+    xs_l = jnp.repeat(Xb[:, 0].T, n, axis=1)
+    rho_l = jnp.full((1, b_arms * n), 1e-3, f32)
+    (Xp, Up, lamp, rhop, meritp, itcp, bailp,
+     pcg_tot) = sqp_solve_mega_pcg_packed(
+        model, Xl, Ul, goals_l, xs_l, laml, rho_l, jnp.ones_like(rho_l),
+        cap, tol, b_arms, k_sqp, *static)
+    unpack = lambda Al: jnp.transpose(
+        jnp.reshape(Al, (Al.shape[0], b_arms, n)), (1, 2, 0))
+    Xp_b, Up_b, lamp_b = unpack(Xp), unpack(Up), unpack(lamp)
+    errs = {}
+    ok = True
+    for a in range(b_arms):
+        ex = _relerr(Xp_b[a], jnp.transpose(singles[a][0]))
+        eu = _relerr(Up_b[a][:-1], jnp.transpose(singles[a][1])[:-1])
+        el = _relerr(lamp_b[a], jnp.transpose(singles[a][2]))
+        im = int(itcp[0, a * n]) == int(singles[a][6])
+        er = abs(float(rhop[0, a * n]) - float(singles[a][3])) / max(
+            abs(float(singles[a][3])), 1e-12)
+        errs[f"arm{a}"] = {"x": ex, "u": eu, "lam": el, "rho": er,
+                           "sqp_iters_match": im}
+        ok &= ex < 1e-3 and eu < 1e-3 and el < 1e-2 and er < 1e-4 and im
+    results[f"packed_arms_n{n}_b{b_arms}"] = {"ok": ok, **errs}
+    return ok
+
+
 def check_rollout(model, X, U, goals, results):
     import jax.numpy as jnp
 
@@ -453,6 +531,12 @@ def main():
                     ("megakernel_solve",
                      lambda: check_megakernel_solve(model, X, U, lam, goals,
                                                     xs, results, n)))
+            if n <= 64:
+                # arm-packed megakernel: B=2 arms fit the 128-lane tile
+                checks.append(
+                    ("packed_arms",
+                     lambda: check_packed_arms(model, X, U, lam, goals,
+                                               xs, results, n)))
             if n == 32:
                 checks.append(
                     ("envelope",

@@ -123,3 +123,86 @@ def test_megakernel_whole_solve_matches_iter_loop(iiwa, traj_0_0):
                                   np.asarray(ri.stats.accepted))
     np.testing.assert_allclose(float(rw.stats.final_merit),
                                float(ri.stats.final_merit), rtol=1e-4)
+
+
+def test_packed_arms_match_single_arm_solves(iiwa, traj_0_0):
+    """The arm-packed whole-solve megakernel (B arms sharing the lane
+    batch, per-arm dots / masks / rho rows) must reproduce B independent
+    single-arm whole-solve megakernels to float tolerance (per-arm dot
+    reductions sum over the padded full width, so reduction order -- not
+    math -- differs)."""
+    from mpcgpu_tpu.ops.pallas.merit_kernel import line_search_merits_pallas
+    from mpcgpu_tpu.ops.pallas.sqp_megakernel import (
+        sqp_solve_mega_pcg, sqp_solve_mega_pcg_packed)
+
+    xu, ee = traj_0_0
+    n, b_arms, k_sqp, cap = 4, 2, 2, 8   # interpreter mode is slow: keep tiny
+    cfg = SolverConfig.for_knots(n, sqp_max_iter=k_sqp)
+    f32 = jnp.float32
+    nx, nu, nq = cfg.state_size, cfg.nu, cfg.nq
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(xu[:n, :14], f32)
+    U = jnp.asarray(xu[: n - 1, 14:], f32)
+    goals = jnp.asarray(ee[:n])
+    lam = jnp.zeros((n, nx), f32)
+    Xb = jnp.stack([
+        X + 0.02 * jnp.asarray(rng.normal(size=(n, nx)), f32)
+        for _ in range(b_arms)])
+    tol = jnp.asarray(1e-9, f32)
+
+    def merit_of(Xa):
+        return line_search_merits_pallas(
+            iiwa, Xa, U, jnp.zeros_like(Xa), jnp.zeros_like(U),
+            cfg.num_alphas, goals, Xa[0], cfg.timestep, cfg.merit_mu,
+            cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
+            cfg.gravity, cfg.angle_wrap, cfg.cost.tracking,
+            cfg.cost.q_cost)[cfg.num_alphas]
+
+    static = (cfg.timestep, cfg.cost.qd_cost, cfg.cost.r_cost,
+              cfg.integrator_type, cfg.gravity, cfg.cost.hessian,
+              cfg.merit_mu, cfg.num_alphas, cfg.rho_factor, cfg.rho_min,
+              cfg.rho_max, cfg.rho_reset, cfg.angle_wrap,
+              cfg.cost.tracking, cfg.cost.q_cost)
+
+    singles = []
+    for a in range(b_arms):
+        Xa = Xb[a]
+        Ul = jnp.concatenate([U, jnp.zeros((1, nu), f32)]).T
+        outs = sqp_solve_mega_pcg(
+            iiwa, Xa.T, Ul, goals[:, :3].T, Xa[0], lam.T,
+            jnp.asarray(1e-3, f32), jnp.asarray(1.0, f32), merit_of(Xa),
+            cap, tol, k_sqp, *static)
+        singles.append(outs)
+
+    pack = lambda Ab: jnp.reshape(
+        jnp.transpose(Ab, (2, 0, 1)), (-1, b_arms * n))
+    Ub = jnp.broadcast_to(U, (b_arms,) + U.shape)
+    Xl = pack(Xb)
+    Ul = pack(jnp.concatenate([Ub, jnp.zeros((b_arms, 1, nu), f32)], axis=1))
+    laml = pack(jnp.broadcast_to(lam, (b_arms,) + lam.shape))
+    goals_l = jnp.tile(goals[:, :3].T, (1, b_arms))
+    xs_l = jnp.repeat(Xb[:, 0].T, n, axis=1)
+    rho_l = jnp.full((1, b_arms * n), 1e-3, f32)
+    (Xp, Up, lamp, rhop, meritp, itcp, bailp,
+     pcg_tot) = sqp_solve_mega_pcg_packed(
+        iiwa, Xl, Ul, goals_l, xs_l, laml, rho_l, jnp.ones_like(rho_l),
+        cap, tol, b_arms, k_sqp, *static)
+
+    unpack = lambda Al: jnp.transpose(
+        jnp.reshape(Al, (Al.shape[0], b_arms, n)), (1, 2, 0))
+    Xp_b, Up_b, lamp_b = unpack(Xp), unpack(Up), unpack(lamp)
+    for a in range(b_arms):
+        np.testing.assert_allclose(np.asarray(Xp_b[a]),
+                                   np.asarray(singles[a][0]).T,
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Up_b[a][:-1]),
+                                   np.asarray(singles[a][1]).T[:-1],
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lamp_b[a]),
+                                   np.asarray(singles[a][2]).T,
+                                   rtol=1e-3, atol=1e-4)
+        assert int(itcp[0, a * n]) == int(singles[a][6])
+        np.testing.assert_allclose(float(rhop[0, a * n]),
+                                   float(singles[a][3]), rtol=1e-5)
+        np.testing.assert_allclose(float(meritp[0, a * n]),
+                                   float(singles[a][5]), rtol=1e-4)
