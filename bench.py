@@ -11,9 +11,12 @@ update into a 2000 us real-time budget at 500 Hz
 that budget divided by our per-update latency (>1 = faster than
 real-time).
 
-Default configuration: fused stage kernels with the warm-started PCG
-kernel at the reference-tuned per-N exit tolerance -- the configuration
-with hardware-verified long-run tracking parity.  --linsys bcr /
+Default configuration: the whole-solve PCG megakernel (every SQP
+iteration of an update in ONE Pallas dispatch, lead-layout CG) at the
+TPU-retuned iteration cap -- hardware bit-exact vs the staged stage-
+kernel path (results/round3/megasolve_check.json) and ~17 us/update
+faster; outside its N <= 128 envelope the solver falls back to the
+staged fused kernels automatically.  --linsys bcr /
 bcr_pcg select the exact cyclic-reduction solve and its CG hybrid
 (faster per update, but f32 CR is not backward stable on these
 cond~1e7 systems and slowly biases long closed-loop runs; see
@@ -41,12 +44,18 @@ def main() -> int:
                     choices=["pcg", "bcr", "bcr_pcg", "pcg_pallas", "dense",
                              "qdldl"])
     ap.add_argument("--megakernel", action="store_true",
-                    help="iteration-scope megakernel (default off: the "
-                    "staged path is faster for pcg -- CG dominates and the "
-                    "dedicated PCG kernel has the cheaper CG iteration)")
-    ap.add_argument("--mega-solve", action="store_true",
+                    help="iteration-scope megakernel (one Pallas dispatch "
+                    "per SQP iteration; slower than --mega-solve, kept as "
+                    "a hardware-bit-exact alternate)")
+    ap.add_argument("--mega-solve", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="whole-solve megakernel: all SQP iterations in one "
-                    "Pallas dispatch (requires megakernel engagement)")
+                    "Pallas dispatch (the flagship at N <= 128: 267 vs "
+                    "284 us/update staged, hardware bit-exact -- "
+                    "results/round3/bench_megasolve.json; use "
+                    "--no-mega-solve for the staged stage-kernel path). "
+                    "Automatically disengages outside the megakernel "
+                    "envelope (N > 128 or non-pcg linsys).")
     ap.add_argument("--sqp-max-iter", type=int, default=4)
     ap.add_argument("--batch", type=int, default=1,
                     help="throughput mode: track B independent arms "
@@ -82,11 +91,14 @@ def main() -> int:
     xu, ee = load_fixture_pair(fixtures, 0, 0)
     model = iiwa14()
 
+    # the whole-solve megakernel only serves the pcg backend
+    # (sqp.py:219); keep other backends' defaults unchanged
+    mega_solve = args.mega_solve and linsys == "pcg"
     cfg = dataclasses.replace(
         SolverConfig.for_knots(n, sqp_max_iter=args.sqp_max_iter),
         pallas_stages=True,      # fused lane-batched stage kernels
-        megakernel=args.megakernel or args.mega_solve,
-        megakernel_solve=args.mega_solve,
+        megakernel=args.megakernel or mega_solve,
+        megakernel_solve=mega_solve,
     )
     if args.pcg_max_iter is not None:
         cfg = dataclasses.replace(

@@ -165,8 +165,19 @@ def _perknot(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     R = r_cost * (eye_u * jnp.ones((1, 1, n), dtype))
 
     # ---- regularize + invert (utils/matrix.cuh Gauss-Jordan equivalent)
-    Qr = Q + rho * eye_x
-    Rr = R + rho * eye_u
+    if getattr(rho, "ndim", 0) == 2:
+        # packed per-arm rho: an (nx, n) full-width field (each arm's
+        # scalar replicated over rows; see sqp_megakernel._arm_lane_masks).
+        # Sliced to (1, s, n) so it broadcasts along the LEADING dim only
+        # -- Mosaic has no sublane broadcast for such values.  Explicit
+        # lax.slice + expand_dims: jnp's newaxis+slice indexing falls
+        # through to a gather, which Mosaic cannot lower here.
+        rho_x = jnp.expand_dims(jax.lax.slice_in_dim(rho, 0, nx, axis=0), 0)
+        rho_u = jnp.expand_dims(jax.lax.slice_in_dim(rho, 0, nu, axis=0), 0)
+    else:
+        rho_x = rho_u = rho
+    Qr = Q + rho_x * eye_x
+    Rr = R + rho_u * eye_u
     Qinv = ld.spd_inverse_lane(Qr)
     Rinv = ld.spd_inverse_lane(Rr)
 

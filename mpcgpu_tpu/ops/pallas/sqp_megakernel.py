@@ -440,9 +440,14 @@ def _solve_kernel_pcg(nq: int, nu: int, n_sqp_iter: int, dt: float,
 # ---------------------------------------------------------------------------
 
 
-def _arm_lane_masks(b_arms: int, n_arm: int, dtype):
+def _arm_lane_masks(b_arms: int, n_arm: int, dtype, rows: int = 1):
+    """Per-arm lane masks at (rows, nt).  Packed per-arm quantities are
+    kept at FULL sublane width (rows = nx) inside the kernel: Mosaic has
+    no sublane broadcast for loop-carried (1, nt) rows ("Not
+    implemented: Sublane broadcast"), so every per-arm row is built and
+    carried already expanded instead of broadcast at use sites."""
     nt = b_arms * n_arm
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, nt), 1)
     return [((lane // n_arm) == a).astype(dtype) for a in range(b_arms)]
 
 
@@ -454,12 +459,14 @@ def _seg_masks(n_arm: int, nt: int, dtype):
 
 
 def _pdot(a, b, arm_masks):
-    """Per-arm <a, b>: (1, nt) row, each arm's dot broadcast over its
-    own lane segment (the packed CG's alpha/beta are per-arm)."""
-    rows = jnp.sum(a * b, axis=0, keepdims=True)
-    out = rows * 0.0
+    """Per-arm <a, b> at full width: arm_masks are (rows, nt) matching
+    a/b, and each arm's scalar dot is written back over its whole
+    (rows x lane-segment) block -- no (1, nt) intermediates, so nothing
+    ever needs a Mosaic sublane broadcast."""
+    prod = a * b
+    out = jnp.zeros_like(a)
     for m in arm_masks:
-        out = out + m * jnp.sum(rows * m)
+        out = out + m * jnp.sum(prod * m)
     return out
 
 
@@ -473,8 +480,8 @@ def _safe_div(num, den):
 def _pcg_loop_packed(SLt, SDt, SUt, PLt, PDt, PUt, gamma, lam0, max_iter,
                      tol, arm_masks):
     """_pcg_loop with per-arm dots (lead-layout bands).  Runs until every
-    arm meets the tolerance or the shared cap.  Returns (lam, iters,
-    eta (1, nt) per-arm)."""
+    arm meets the tolerance or the shared cap.  arm_masks and eta are
+    full-width (nx, nt) per-arm fields.  Returns (lam, iters, eta)."""
     r0 = gamma - _band_spmv_lead(SLt, SDt, SUt, lam0)
     rt0 = _band_spmv_lead(PLt, PDt, PUt, r0)
     eta0 = _pdot(r0, rt0, arm_masks)
@@ -509,7 +516,8 @@ def _line_search_packed(nq: int, nu: int, dt: float, qd_cost: float,
     batch b = c*(B*N) + a*N + k, merit reduced per (candidate, arm),
     argmin per arm.  xs_l is (nx, B*N) with each arm's start state
     broadcast over its segment (only the k=0 lane survives the mask).
-    Returns per-arm lane rows (best_merit (1, B*N), best_alpha (1, B*N)).
+    Returns per-arm fields at full width (best_merit (nx, B*N),
+    best_alpha (nx, B*N); each arm's scalar replicated over its block).
     num_alphas=1 with dX=dU=0 evaluates the incumbent merit."""
     nt = b_arms * n_arm
     dtype = X.dtype
@@ -554,11 +562,13 @@ def _line_search_packed(nq: int, nu: int, dt: float, qd_cost: float,
     c0 = ld.row_sum(jnp.abs(Xc - xs_c)) * mc0
     contrib = cost + mu * (defect + c0)        # (1, A*B*N)
 
-    # per-(candidate, arm) reduction: group index g = c*B + a
+    # per-(candidate, arm) reduction: group index g = c*B + a.
+    # Results assembled at full (nx, nt) width (scalar-times-mask only;
+    # see _arm_lane_masks on why no (1, nt) rows).
     grp = b // n_arm
-    arm_masks = _arm_lane_masks(b_arms, n_arm, dtype)
-    best_merit = jnp.zeros((1, nt), dtype)
-    best_alpha = jnp.zeros((1, nt), dtype)
+    arm_masks = _arm_lane_masks(b_arms, n_arm, dtype, rows=2 * nq)
+    best_merit = jnp.zeros((2 * nq, nt), dtype)
+    best_alpha = jnp.zeros((2 * nq, nt), dtype)
     for a in range(b_arms):
         bm = jnp.sum(jnp.where(grp == a, contrib, 0.0))
         ba = jnp.asarray(alphas[0], dtype)
@@ -583,10 +593,11 @@ def _iteration_pcg_packed(nq: int, nu: int, dt: float, qd_cost: float,
                           merit_prev_l, max_iter, tol,
                           x_tab, h_tab, dh_tab, I_tab):
     """_iteration_pcg for B packed arms: identical stage structure, with
-    per-arm edge masks, per-arm CG dots, and per-arm accept/rho rows.
-    rho_l/drho_l/merit_prev_l are (1, B*N) per-arm lane rows.  Returns
-    (X', U', lam, rho', drho', merit', accept (1,nt) bool, bail (1,nt)
-    bool, iters, eta)."""
+    per-arm edge masks, per-arm CG dots, and per-arm accept/rho fields.
+    rho_l/drho_l/merit_prev_l are (nx, B*N) full-width per-arm fields
+    (each arm's scalar replicated over its rows x lane-segment block --
+    see _arm_lane_masks).  Returns (X', U', lam, rho', drho', merit',
+    accept (nx,nt) bool, bail (nx,nt) bool, iters, eta (nx,nt))."""
     nt = X.shape[1]
     dtype = X.dtype
 
@@ -617,7 +628,7 @@ def _iteration_pcg_packed(nq: int, nu: int, dt: float, qd_cost: float,
         ld.lane_matmul(theta_inv, SU), pltpu.roll(theta_inv, nt - 1, axis=2)
     ) * mN
 
-    arm_masks = _arm_lane_masks(b_arms, n_arm, dtype)
+    arm_masks = _arm_lane_masks(b_arms, n_arm, dtype, rows=X.shape[0])
     lam, iters, eta = _pcg_loop_packed(
         ld.lane_transpose(phi), ld.lane_transpose(theta),
         ld.lane_transpose(SU), ld.lane_transpose(PL),
@@ -638,8 +649,8 @@ def _iteration_pcg_packed(nq: int, nu: int, dt: float, qd_cost: float,
         rho_l, drho_l, merit_prev_l, best_merit_l, best_alpha_l,
         rho_factor, rho_min, rho_max, rho_reset, dtype,
     )
-    return (X + step * dX, U + step * dU, lam, rho_new, drho_new,
-            merit_new, accept, bail, iters, eta)
+    return (X + step * dX, U + step[: U.shape[0]] * dU, lam, rho_new,
+            drho_new, merit_new, accept, bail, iters, eta)
 
 
 def _solve_kernel_pcg_packed(nq: int, nu: int, n_sqp_iter: int, b_arms: int,
@@ -659,7 +670,9 @@ def _solve_kernel_pcg_packed(nq: int, nu: int, n_sqp_iter: int, b_arms: int,
     freezes that arm's lanes while the rest keep iterating (per-arm
     analogue of _solve_kernel_pcg's done flag).  The incumbent merit is
     evaluated in-kernel (1-candidate packed line search), so no merit0
-    input is needed."""
+    input is needed.  All per-arm state (rho, drho, merit, done, iter
+    counts) lives at full (nx, nt) width inside the kernel; the (1, nt)
+    output refs take row 0."""
     x_tab = (xc[:], xs_t[:], xk[:])
     h_tab = (hc[:], hs[:], hk[:])
     dh_tab = (dhc[:], dhs[:], dhk[:])
@@ -681,7 +694,7 @@ def _solve_kernel_pcg_packed(nq: int, nu: int, n_sqp_iter: int, b_arms: int,
     )
 
     def body(_i, carry):
-        X, U, lam, rho_l, drho_l, merit_l, done_l, itc_l, pcg_tot = carry
+        X, U, lam, rho_l, drho_l, merit_l, done_f, itc_f, pcg_tot = carry
         (Xn, Un, lamn, rhon, drhon, meritn, _accept, bail, iters,
          _eta) = _iteration_pcg_packed(
             nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
@@ -690,30 +703,41 @@ def _solve_kernel_pcg_packed(nq: int, nu: int, n_sqp_iter: int, b_arms: int,
             X, U, goals, xs_l, lam, rho_l, drho_l, merit_l,
             max_iter, tol, x_tab, h_tab, dh_tab, I_tab,
         )
-        live = jnp.logical_not(done_l)          # (1, nt) per-arm
+        live = done_f == 0.0                     # (nx, nt) per-arm
+        livef = 1.0 - done_f
         sel = lambda new, old: jnp.where(live, new, old)
+        sel_u = lambda new, old: jnp.where(live[: U.shape[0]], new, old)
         return (
-            sel(Xn, X), sel(Un, U), sel(lamn, lam),
+            sel(Xn, X), sel_u(Un, U), sel(lamn, lam),
             sel(rhon, rho_l), sel(drhon, drho_l), sel(meritn, merit_l),
-            jnp.logical_or(done_l, jnp.logical_and(live, bail)),
-            itc_l + live.astype(jnp.int32),
-            pcg_tot + jnp.where(jnp.any(live), iters, 0),
+            jnp.where(jnp.logical_and(live, bail),
+                      jnp.asarray(1.0, dtype), done_f),
+            itc_f + livef,
+            pcg_tot + jnp.where(jnp.sum(livef) > 0.0, iters, 0),
         )
 
-    init = (X0, U0, lam0_ref[:], rho_ref[:], drho_ref[:], merit0_l,
-            jnp.zeros((1, nt), jnp.bool_), jnp.zeros((1, nt), jnp.int32),
+    # Per-arm done/iteration-count state is carried as f32 FIELDS like
+    # X/U/lam (the hardware-proven carry dtype): bool (i1) and int32
+    # full-width carries kill the Mosaic compiler at the fori_loop
+    # back-edge (results/round3/packed_bisect.json -- every sub-stage
+    # compiles, only the loop wrapper with bool/int carries dies).
+    # Inits derive from computed values (X0 * 0), never splat
+    # constants, so they enter the loop with concrete layouts.
+    zeros_f = X0 * jnp.asarray(0.0, dtype)
+    init = (X0, U0, lam0_ref[:], rho_ref[:], drho_ref[:],
+            merit0_l + zeros_f, zeros_f, zeros_f,
             jnp.int32(0))
-    (X, U, lam, rho_l, drho_l, merit_l, done_l, itc_l,
+    (X, U, lam, rho_l, drho_l, merit_l, done_f, itc_f,
      pcg_tot) = jax.lax.fori_loop(0, n_sqp_iter, body, init)
 
     x_out[:] = X
     u_out[:] = U
     lam_out[:] = lam
-    rho_out[:] = rho_l
-    drho_out[:] = drho_l
-    merit_out[:] = merit_l
-    it_out[:] = itc_l
-    bailed_out[:] = done_l.astype(jnp.int32)
+    rho_out[:] = rho_l[:1]
+    drho_out[:] = drho_l[:1]
+    merit_out[:] = merit_l[:1]
+    it_out[:] = itc_f[:1].astype(jnp.int32)
+    bailed_out[:] = done_f[:1].astype(jnp.int32)
     pcg_out[0] = pcg_tot
 
 
@@ -774,7 +798,11 @@ def sqp_solve_mega_pcg_packed(model: RobotModel, Xl, Ul, goals_l, xs_l,
     )(
         jnp.asarray(max_iter, jnp.int32).reshape(1),
         jnp.asarray(exit_tol, f32).reshape(1),
-        Xl, Ul, goals_l, xs_l, lam0_l, rho_l, drho_l,
+        Xl, Ul, goals_l, xs_l, lam0_l,
+        # per-arm rows expanded to full width OUTSIDE the kernel (XLA
+        # broadcast); Mosaic cannot sublane-broadcast them in-kernel
+        jnp.broadcast_to(rho_l, (nx, nt)),
+        jnp.broadcast_to(drho_l, (nx, nt)),
         model.Hc, model.Hs, model.Hk, model.dHc, model.dHs, model.dHk,
         model.Xc, model.Xs, model.Xk, model.I,
     )
