@@ -21,7 +21,8 @@ def load(p):
 def main():
     # prefer a bench archived this round (raw bench.py JSON) over the
     # driver's end-of-PREVIOUS-round snapshot
-    bench = load("results/round3/bench_flagship.json")
+    bench = (load("results/round3/bench_megasolve.json")
+             or load("results/round3/bench_flagship.json"))
     for r in range(9, 0, -1):
         if bench:
             break
@@ -288,9 +289,11 @@ def main():
         "fixed ~17 us, marginal SQP iteration ~28 us ex-CG, and the CG "
         "loop (~147 iters/update at cap 40) the dominant ~120-190 us.  "
         "The whole-solve megakernel (4 SQP iterations in ONE Pallas "
-        "dispatch, hardware bit-exact) wins on fixed cost (6.7 us) but "
-        "its in-kernel CG iteration is ~2x the dedicated PCG kernel's, "
-        "so the staged path remains the flagship.")
+        "dispatch, hardware bit-exact) wins on fixed cost (6.7 us); "
+        "with the round-3 lead-layout CG its in-kernel iteration "
+        "matches the dedicated PCG kernel's, and at 267.2 us/update it "
+        "beats the staged path by ~17 us and is now the flagship "
+        "(results/round3/bench_megasolve.json).")
     L.append(
         "- **On-chip batching is a measured dead end; multi-arm is a "
         "multi-chip story** (results/round3/batched_throughput.json): "
@@ -303,6 +306,21 @@ def main():
         "closed loop per device, shard_map over the batch axis, zero "
         "collectives), validated arm-for-arm against the single-device "
         "batched loop on the virtual 8-device mesh.")
+    L.append(
+        "- **Arm-packed megakernel (lane-fill batching)**: the one "
+        "on-chip batching route that does work is packing B arms into "
+        "the 128-lane width of the whole-solve megakernel (B*N <= 128; "
+        "sim.simulate_mpc_scan_packed, bench.py --batch B --packed), "
+        "hardware-verified arm-for-arm against independent single-arm "
+        "solves (results/round3/packed_arms_check.json).  Measured at "
+        "B=2, N=64: 609.1 us per batched update = 3284 updates/s/chip "
+        "(results/round3/bench_packed_b2.json) -- 3.6x the vmapped "
+        "portable path, though still ~14% below time-multiplexing two "
+        "independent 267 us solves (534 us), because packed arms run "
+        "the CG/SQP loops in lockstep to the slowest arm.  Use it when "
+        "B arms must share one chip with a single synchronized control "
+        "tick; use sequential multiplexing or multi-chip arm-parallel "
+        "otherwise.")
     L.append(
         "- **Per-N cap retuning closes the long-horizon gap**: with the "
         "TPU-tuned caps (PCGConfig.tpu_tuned_max_iter, round 3: "
