@@ -312,15 +312,19 @@ def main():
         "the 128-lane width of the whole-solve megakernel (B*N <= 128; "
         "sim.simulate_mpc_scan_packed, bench.py --batch B --packed), "
         "hardware-verified arm-for-arm against independent single-arm "
-        "solves (results/round3/packed_arms_check.json).  Measured at "
-        "B=2, N=64: 609.1 us per batched update = 3284 updates/s/chip "
-        "(results/round3/bench_packed_b2.json) -- 3.6x the vmapped "
-        "portable path, though still ~14% below time-multiplexing two "
-        "independent 267 us solves (534 us), because packed arms run "
-        "the CG/SQP loops in lockstep to the slowest arm.  Use it when "
-        "B arms must share one chip with a single synchronized control "
-        "tick; use sequential multiplexing or multi-chip arm-parallel "
-        "otherwise.")
+        "solves (results/round3/packed_arms_check.json).  The packed "
+        "update costs ~600 us at full 128-lane width regardless of how "
+        "the lanes split into arms -- B=2/N=64: 609.1 us (3284 "
+        "updates/s/chip, bench_packed_b2.json); B=4/N=32: 583.1 us "
+        "(6860 updates/s/chip = 13.7x the 500 Hz budget, "
+        "bench_packed_b4n32.json) -- so packing pays exactly when it "
+        "raises lane fill: at N=32 it is 1.8x better than "
+        "time-multiplexing four ~260 us single-arm solves, while at "
+        "N=64 it is ~14% below two sequential 267 us solves (lockstep "
+        "CG to the slowest arm + the 8*B*N-lane line search).  Use "
+        "packing for many short-horizon arms per chip or a single "
+        "synchronized control tick; use sequential multiplexing or "
+        "multi-chip arm-parallel otherwise.")
     L.append(
         "- **Per-N cap retuning closes the long-horizon gap**: with the "
         "TPU-tuned caps (PCGConfig.tpu_tuned_max_iter, round 3: "
