@@ -87,6 +87,11 @@ def main():
     xs_l = jnp.repeat(Xb[:, 0].T, n, axis=1)
     rho_l = jnp.full((1, B * n), 1e-3, f32)
 
+    # NOTE: the lam carry must stay COLD (lam0 each step, with only a
+    # negligible data dependency on the previous solve's duals) -- feeding
+    # the converged duals back in makes r0 ~ 0 and the CG loop exits at
+    # iteration ~0 regardless of cap, so the sweep would measure only the
+    # fixed cost (that flaw is why mega_cg_probe's cap column is flat).
     def single_factory(cap):
         def step(carry):
             Xc, lamc = carry
@@ -95,7 +100,8 @@ def main():
                 jnp.asarray(1e-3, f32), jnp.asarray(1.0, f32),
                 jnp.asarray(1e30, f32), cap, jnp.asarray(0.0, f32), k_sqp,
                 *static)
-            return (Xc * 0.99999 + 1e-9 * outs[0], outs[2])
+            return (Xc * 0.99999 + 1e-9 * outs[0],
+                    lam_l1 + 1e-30 * outs[2])
         return step
 
     def packed_factory(cap):
@@ -105,7 +111,8 @@ def main():
                 model, Xc, Ul, goals_l, xs_l, lamc, rho_l,
                 jnp.ones_like(rho_l), cap, jnp.asarray(0.0, f32), B, k_sqp,
                 *static)
-            return (Xc * 0.99999 + 1e-9 * outs[0], outs[2])
+            return (Xc * 0.99999 + 1e-9 * outs[0],
+                    laml + 1e-30 * outs[2])
         return step
 
     def slope_time(fn, carry, k1=16, k2=80):
