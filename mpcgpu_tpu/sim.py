@@ -541,7 +541,6 @@ def simulate_mpc_scan_packed(model: RobotModel, cfg: SolverConfig, xu_traj,
     n = cfg.knot_points
     nx, nu = cfg.state_size, cfg.nu
     assert batch * n <= 128, "packed arms exceed the single-tile lane width"
-    cfg_roll = dataclasses.replace(cfg, pallas_stages=False)
 
     from mpcgpu_tpu.ops.pallas.sqp_megakernel import sqp_solve_mega_pcg_packed
 
@@ -597,13 +596,18 @@ def simulate_mpc_scan_packed(model: RobotModel, cfg: SolverConfig, xu_traj,
         itc_b = itc_l[0, ::n]
         bail_b = bailed_l[0, ::n]
 
-        # ---- plant rollout + tracking error, per arm (portable path;
-        # the fused rollout kernel's SMEM scalars don't vmap)
+        # ---- plant rollout + tracking error, per arm.  The fused rollout
+        # kernel's SMEM scalars don't vmap, but batch is STATIC and small:
+        # unroll B sequential fused-kernel calls (~5 us each) instead of
+        # vmapping the portable rollout (~10 sequential tiny ABA evals per
+        # substep -- the vmapped-portable glue measured ~350 us/update of
+        # the packed loop's 609, results/round3/packed_cg_probe_n64_b2.json)
         offset_us = jnp.where(first, 0.0, period)
-        xs_b, err_b = jax.vmap(
-            lambda xsa, Upa: _rollout_and_error(
-                model, cfg_roll, xsa, Upa, goals, offset_us, period,
-                max_substeps))(xs_b, Uprev_b)
+        roll = [_rollout_and_error(model, cfg, xs_b[a], Uprev_b[a], goals,
+                                   offset_us, period, max_substeps)
+                for a in range(batch)]
+        xs_b = jnp.stack([r[0] for r in roll])
+        err_b = jnp.stack([r[1] for r in roll])
         Uprev_b = Ub
 
         # ---- shared-schedule horizon shift, per arm

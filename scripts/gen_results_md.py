@@ -313,18 +313,21 @@ def main():
         "sim.simulate_mpc_scan_packed, bench.py --batch B --packed), "
         "hardware-verified arm-for-arm against independent single-arm "
         "solves (results/round3/packed_arms_check.json).  The packed "
-        "update costs ~600 us at full 128-lane width regardless of how "
-        "the lanes split into arms -- B=2/N=64: 609.1 us (3284 "
-        "updates/s/chip, bench_packed_b2.json); B=4/N=32: 583.1 us "
-        "(6860 updates/s/chip = 13.7x the 500 Hz budget, "
-        "bench_packed_b4n32.json) -- so packing pays exactly when it "
-        "raises lane fill: at N=32 it is 1.8x better than "
-        "time-multiplexing four ~260 us single-arm solves, while at "
-        "N=64 it is ~14% below two sequential 267 us solves (lockstep "
-        "CG to the slowest arm + the 8*B*N-lane line search).  Use "
-        "packing for many short-horizon arms per chip or a single "
-        "synchronized control tick; use sequential multiplexing or "
-        "multi-chip arm-parallel otherwise.")
+        "KERNEL costs the same as the single-arm one (cold-lam cap "
+        "sweep, packed_cg_probe_n64_b2.json: both ~114 us fixed, "
+        "<= 1 us/CG-iter) -- lane fill really is free.  The first "
+        "packed closed loop measured 609 us/batched update because its "
+        "per-arm plant rollout ran as a VMAPPED PORTABLE stage (~350 us "
+        "of glue); unrolling B fused rollout-kernel calls (batch is "
+        "static) fixed it: B=2/N=64: 254.4 us per batched update = "
+        "7861 updates/s/chip -- TWO arms now cost LESS than one "
+        "single-arm 267 us update -- and B=4/N=32: 288.7 us = 13,856 "
+        "updates/s/chip (27.7x the 500 Hz budget), 3.6x better than "
+        "time-multiplexing four single-arm solves "
+        "(bench_packed_b2.json, bench_packed_b4n32.json; tracking "
+        "errors unchanged).  Packing B*N <= 128 lanes is now strictly "
+        "better than sequential multiplexing on one chip; combine with "
+        "multi-chip arm-parallel for fleets.")
     L.append(
         "- **Per-N cap retuning closes the long-horizon gap**: with the "
         "TPU-tuned caps (PCGConfig.tpu_tuned_max_iter, round 3: "
