@@ -120,6 +120,60 @@ def test_scan_loop_matches_host_loop_pallas_stages(iiwa, fixtures_dir):
     np.testing.assert_allclose(errs_scan, errs_host, rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.slow
+def test_packed_scan_loop_matches_single_arm_scan_loops(iiwa, fixtures_dir):
+    """simulate_mpc_scan_packed (B arms in one lane batch, arm-packed
+    whole-solve megakernel) must reproduce B independent single-arm
+    megasolve closed loops started from the same perturbed states --
+    this covers the sim-level pack/unpack, per-arm rollout, and shared
+    shift-schedule plumbing (the kernel-level equivalence is
+    tests/test_megakernel.py::test_packed_arms_match_single_arm_solves).
+    Cap-bound CG (tol ~ 0) so lockstep iteration counts match the
+    single-arm runs."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpcgpu_tpu.sim import simulate_mpc_scan, simulate_mpc_scan_packed
+
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
+    n, b_arms, n_updates = 4, 2, 2
+    cfg = dataclasses.replace(
+        SolverConfig.for_knots(n, sqp_max_iter=2),
+        pallas_stages=True, megakernel=True, megakernel_solve=True)
+    cfg = dataclasses.replace(
+        cfg, pcg=dataclasses.replace(cfg.pcg, max_iter=4))
+    f32 = jnp.float32
+    X = jnp.asarray(xu[:n, :14], f32)
+    U = jnp.asarray(xu[: n - 1, 14:], f32)
+    lam = jnp.zeros((n, 14), f32)
+    rho = jnp.asarray(1e-3, f32)
+    tol = 1e-9
+
+    packed = simulate_mpc_scan_packed(
+        iiwa, cfg, jnp.asarray(xu), jnp.asarray(ee), X, U, lam, rho, tol,
+        n_updates, batch=b_arms, seed=0)
+
+    # same per-arm start perturbation as simulate_mpc_scan_packed(seed=0)
+    dq = 0.02 * jax.random.normal(jax.random.PRNGKey(0), (b_arms, cfg.nq), f32)
+    for a in range(b_arms):
+        Xa = X.at[0, : cfg.nq].add(dq[a])
+        single = simulate_mpc_scan(
+            iiwa, cfg, jnp.asarray(xu), jnp.asarray(ee), Xa, U, lam, rho,
+            tol, n_updates)
+        np.testing.assert_allclose(
+            np.asarray(packed["tracking_errors"][a]),
+            np.asarray(single["tracking_errors"]), rtol=2e-2, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(packed["final_xs"][a]),
+            np.asarray(single["final_xs"]), rtol=2e-2, atol=2e-3)
+        np.testing.assert_array_equal(
+            np.asarray(packed["sqp_iters"][a]),
+            np.asarray(single["sqp_iters"]))
+
+
 def test_shift_horizon_padded_traj_len_matches_unpadded(fixtures_dir):
     """The traced traj_len path (one static shape for all fixtures --
     the all-pairs timing fix) must reproduce the unpadded shift exactly,
