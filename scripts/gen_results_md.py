@@ -321,13 +321,16 @@ def main():
         "of glue); unrolling B fused rollout-kernel calls (batch is "
         "static) fixed it: B=2/N=64: 254.4 us per batched update = "
         "7861 updates/s/chip -- TWO arms now cost LESS than one "
-        "single-arm 267 us update -- and B=4/N=32: 288.7 us = 13,856 "
+        "single-arm 267 us update; B=4/N=32: 288.7 us = 13,856 "
         "updates/s/chip (27.7x the 500 Hz budget), 3.6x better than "
-        "time-multiplexing four single-arm solves "
-        "(bench_packed_b2.json, bench_packed_b4n32.json; tracking "
-        "errors unchanged).  Packing B*N <= 128 lanes is now strictly "
-        "better than sequential multiplexing on one chip; combine with "
-        "multi-chip arm-parallel for fleets.")
+        "time-multiplexing four single-arm solves; B=8/N=16: 340.7 us "
+        "= 23,481 updates/s/chip, each arm at 2.9 kHz (but the N=16 "
+        "horizon costs tracking accuracy: 0.167 m avg vs 0.040 at "
+        "N=32 -- short-lookahead property, not a packing artifact) "
+        "(bench_packed_b2/b4n32/b8n16.json; B=2/B=4 tracking errors "
+        "unchanged vs single-arm).  Packing B*N <= 128 lanes is now "
+        "strictly better than sequential multiplexing on one chip; "
+        "combine with multi-chip arm-parallel for fleets.")
     L.append(
         "- **Per-N cap retuning closes the long-horizon gap**: with the "
         "TPU-tuned caps (PCGConfig.tpu_tuned_max_iter, round 3: "
