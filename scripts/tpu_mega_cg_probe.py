@@ -76,7 +76,11 @@ def main():
                 cfg.rho_max, cfg.rho_reset, cfg.angle_wrap,
                 cfg.cost.tracking, cfg.cost.q_cost, mat_bands=mat,
             )
-            return (Xc * 0.99999 + 1e-9 * outs[0], outs[2])
+            # keep the lam carry COLD: feeding converged duals back makes
+            # r0 ~ 0 and CG exits at ~0 iterations regardless of cap, so
+            # the sweep measures only fixed cost (the round-3 flaw that
+            # produced this probe's original flat cap columns)
+            return (Xc * 0.99999 + 1e-9 * outs[0], lam_l + 1e-30 * outs[2])
         return step
 
     def slope_time(fn, carry, k1=16, k2=80):
