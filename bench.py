@@ -66,6 +66,10 @@ def main() -> int:
                     "batch solved by the arm-packed whole-solve "
                     "megakernel (B*N <= 128) instead of vmapping the "
                     "portable path")
+    ap.add_argument("--mat-bands", action="store_true",
+                    help="canonical-layout band copies before the "
+                    "megakernels' in-kernel CG loop (bit-identical; "
+                    "SolverConfig.megakernel_mat_bands)")
     ap.add_argument("--pcg-max-iter", type=int, default=None)
     ap.add_argument("--pcg-exit-tol", type=float, default=None)
     ap.add_argument("--pcg-check-every", type=int, default=None,
@@ -99,6 +103,7 @@ def main() -> int:
         pallas_stages=True,      # fused lane-batched stage kernels
         megakernel=args.megakernel or mega_solve,
         megakernel_solve=mega_solve,
+        megakernel_mat_bands=args.mat_bands,
     )
     if args.pcg_max_iter is not None:
         cfg = dataclasses.replace(
@@ -207,6 +212,7 @@ def main() -> int:
                     "megakernel_solve": bool(
                         megakernel_engages(cfg, linsys)
                         and cfg.megakernel_solve and linsys == "pcg"),
+                    "mat_bands": bool(cfg.megakernel_mat_bands),
                     "n_updates": n_updates,
                     "pcg_max_iter": cfg.pcg.max_iter,
                     "pcg_check_every": cfg.pcg.exit_check_every,

@@ -136,6 +136,17 @@ class SolverConfig:
     # single-iteration megakernels (bail freezes the state).  Default
     # off until hardware-verified (scripts/tpu_kernel_regression.py).
     megakernel_solve: bool = False
+    # In the megakernels, force a canonical-layout copy of the six Schur/
+    # preconditioner bands before the in-kernel CG loop (the bands arrive
+    # via pltpu.roll/lane_transpose with Mosaic offset layouts that are
+    # otherwise re-resolved inside every CG iteration).  Bit-identical
+    # output (results/round3/mega_cg_probe_n64.json: maxdiff 0.0).  The
+    # cold-lam cap sweep showed ~30 us/solve at cap 40, but the closed-
+    # loop A/B is NEUTRAL (264.1 vs 267.2 us/update -- within run noise;
+    # results/round3/bench_matbands.json): with warm-started CG the
+    # per-iteration relayout savings roughly cancel the per-SQP-iteration
+    # copy cost.  Kept as a knob; off by default.
+    megakernel_mat_bands: bool = False
 
     @property
     def jax_dtype(self):

@@ -234,6 +234,7 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
             cfg.merit_mu, cfg.num_alphas, cfg.rho_factor, cfg.rho_min,
             cfg.rho_max, cfg.rho_reset, cfg.angle_wrap,
             cfg.cost.tracking, cfg.cost.q_cost,
+            mat_bands=cfg.megakernel_mat_bands,
         )
         stats = SQPStats(
             pcg_iters=pcg_iters, pcg_hit_max=hit_max, accepted=accepted,
@@ -361,6 +362,7 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
                 cfg.merit_mu, cfg.num_alphas, cfg.rho_factor, cfg.rho_min,
                 cfg.rho_max, cfg.rho_reset, cfg.angle_wrap,
                 cfg.cost.tracking, cfg.cost.q_cost,
+                mat_bands=cfg.megakernel_mat_bands,
             )
         else:
             (Xn_l, Un_l, lam_l, rho, drho, merit_new, accept,
