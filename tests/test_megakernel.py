@@ -125,6 +125,37 @@ def test_megakernel_whole_solve_matches_iter_loop(iiwa, traj_0_0):
                                float(ri.stats.final_merit), rtol=1e-4)
 
 
+def test_mat_bands_bit_identical(iiwa, traj_0_0):
+    """megakernel_mat_bands (canonical-layout band copies before the
+    in-kernel CG loop) is a pure layout hint: outputs must be BIT
+    identical to the default path (results/round3/mega_cg_probe_n64.json
+    shows the same on hardware)."""
+    xu, ee = traj_0_0
+    n = 4
+    base = dataclasses.replace(
+        SolverConfig.for_knots(n, sqp_max_iter=2),
+        pallas_stages=True, megakernel=True, megakernel_solve=True)
+    base = dataclasses.replace(
+        base, pcg=dataclasses.replace(base.pcg, max_iter=6))
+    X = jnp.asarray(xu[:n, :14])
+    U = jnp.asarray(xu[: n - 1, 14:])
+    goals = jnp.asarray(ee[:n])
+    lam = jnp.zeros((n, 14), jnp.float32)
+    rho = jnp.asarray(1e-3, jnp.float32)
+
+    outs = [sqp_solve(iiwa,
+                      dataclasses.replace(base, megakernel_mat_bands=mb),
+                      X, U, lam, goals, X[0], rho, 1e-9, "pcg")
+            for mb in (False, True)]
+    np.testing.assert_array_equal(np.asarray(outs[0].X),
+                                  np.asarray(outs[1].X))
+    np.testing.assert_array_equal(np.asarray(outs[0].U),
+                                  np.asarray(outs[1].U))
+    np.testing.assert_array_equal(np.asarray(outs[0].lam),
+                                  np.asarray(outs[1].lam))
+    assert int(outs[0].stats.sqp_iters) == int(outs[1].stats.sqp_iters)
+
+
 def test_packed_arms_match_single_arm_solves(iiwa, traj_0_0):
     """The arm-packed whole-solve megakernel (B arms sharing the lane
     batch, per-arm dots / masks / rho rows) must reproduce B independent
