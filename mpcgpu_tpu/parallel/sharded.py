@@ -158,3 +158,54 @@ def simulate_mpc_scan_arms_sharded(model, cfg, mesh: Mesh, xu_traj, ee_traj,
         in_specs=(P(ARM_AXIS), P(ARM_AXIS), P(ARM_AXIS)),
         out_specs=P(ARM_AXIS), check=False)
     return fn(Xb, Ub, lamb)
+
+
+def simulate_mpc_scan_packed_arms_sharded(model, cfg, mesh: Mesh, xu_traj,
+                                          ee_traj, X, U, lam, rho,
+                                          pcg_exit_tol, n_updates: int,
+                                          batch_per_device: int = 2,
+                                          seeds=None):
+    """Fleet mode: every device runs one ARM-PACKED closed loop
+    (batch_per_device arms sharing its 128-lane width via the packed
+    whole-solve megakernel, sim.simulate_mpc_scan_packed), giving
+    ndev * batch_per_device arms per mesh with ZERO collectives.  This
+    composes the two round-3 multi-arm results: lane-fill packing
+    (B*N <= 128 arms per chip for ~the price of one update,
+    results/round3/bench_packed_b2/b4n32/b8n16.json) times arm-parallel
+    data sharding (one loop per device).
+
+    All groups start from the same nominal (X, U, lam) with per-arm
+    start perturbations drawn from a per-device seed (`seeds`: int32
+    (ndev,), default arange) -- seed i reproduces an unsharded
+    simulate_mpc_scan_packed(..., seed=i) run exactly.
+
+    Returns the packed loop's per-update stats with every leaf carrying
+    a leading global arm axis of size ndev * batch_per_device (leaves
+    that are per-group in the local loop -- the shift schedule, total
+    PCG iterations -- are broadcast over that group's arms).
+    """
+    from mpcgpu_tpu.parallel._compat import shard_map_compat
+    from mpcgpu_tpu.sim import simulate_mpc_scan_packed
+
+    ndev = int(np.prod([v for _, v in mesh.shape.items()]))
+    if seeds is None:
+        seeds = jnp.arange(ndev, dtype=jnp.int32)
+    seeds = jnp.asarray(seeds, jnp.int32).reshape(ndev)
+    B = int(batch_per_device)
+
+    def run_local(seed_l):
+        out = simulate_mpc_scan_packed(
+            model, cfg, xu_traj, ee_traj, X, U, lam, rho, pcg_exit_tol,
+            n_updates, batch=B, seed=seed_l[0])
+        # normalize: every leaf gets the leading local-arm axis so one
+        # P(ARM_AXIS) out_spec concatenates groups into the global axis
+        def with_arm_axis(v):
+            v = jnp.asarray(v)
+            return (v if v.ndim >= 1 and v.shape[0] == B
+                    else jnp.broadcast_to(v[None], (B,) + v.shape))
+        return jax.tree_util.tree_map(with_arm_axis, out)
+
+    fn = shard_map_compat(
+        run_local, mesh=mesh, in_specs=(P(ARM_AXIS),),
+        out_specs=P(ARM_AXIS), check=False)
+    return fn(seeds)

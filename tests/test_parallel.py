@@ -233,3 +233,49 @@ def test_arms_sharded_matches_vmapped_single_device(iiwa, traj_0_0):
     np.testing.assert_allclose(np.asarray(out["final_xs"]),
                                np.asarray(ref["final_xs"]),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_packed_arms_sharded_matches_unsharded_groups(iiwa, traj_0_0):
+    """Fleet mode: each device runs one ARM-PACKED closed loop
+    (simulate_mpc_scan_packed_arms_sharded).  A 2-device mesh with
+    batch_per_device=2 must reproduce the two unsharded packed runs
+    (seeds 0 and 1) group for group -- zero collectives."""
+    import dataclasses
+
+    from mpcgpu_tpu.config import PCGConfig, SolverConfig
+    from mpcgpu_tpu.parallel.sharded import (
+        ARM_AXIS, simulate_mpc_scan_packed_arms_sharded)
+    from mpcgpu_tpu.sim import simulate_mpc_scan_packed
+    from jax.sharding import Mesh
+
+    xu, ee = traj_0_0
+    n, B, n_updates, ndev = 4, 2, 2, 2
+    cfg = dataclasses.replace(
+        SolverConfig.for_knots(n, sqp_max_iter=1),
+        pallas_stages=True, megakernel=True, megakernel_solve=True,
+        pcg=PCGConfig(max_iter=4))
+    xu_j = jnp.asarray(xu); ee_j = jnp.asarray(ee)
+    X = jnp.asarray(xu[:n, :14]); U = jnp.asarray(xu[:n - 1, 14:])
+    lam = jnp.zeros((n, 14), jnp.float32)
+    rho = jnp.float32(1e-3)
+    mesh2 = Mesh(np.asarray(jax.devices()[:ndev]), (ARM_AXIS,))
+
+    out = simulate_mpc_scan_packed_arms_sharded(
+        iiwa, cfg, mesh2, xu_j, ee_j, X, U, lam, rho, 1e-9, n_updates,
+        batch_per_device=B)
+    assert out["tracking_errors"].shape == (ndev * B, n_updates)
+
+    for d in range(ndev):
+        ref = simulate_mpc_scan_packed(
+            iiwa, cfg, xu_j, ee_j, X, U, lam, rho, 1e-9, n_updates,
+            batch=B, seed=d)
+        sl = slice(d * B, (d + 1) * B)
+        np.testing.assert_allclose(
+            np.asarray(out["tracking_errors"][sl]),
+            np.asarray(ref["tracking_errors"]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out["final_xs"][sl]),
+            np.asarray(ref["final_xs"]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(out["sqp_iters"][sl]), np.asarray(ref["sqp_iters"]))
