@@ -329,8 +329,12 @@ def main():
         "N=32 -- short-lookahead property, not a packing artifact) "
         "(bench_packed_b2/b4n32/b8n16.json; B=2/B=4 tracking errors "
         "unchanged vs single-arm).  Packing B*N <= 128 lanes is now "
-        "strictly better than sequential multiplexing on one chip; "
-        "combine with multi-chip arm-parallel for fleets.")
+        "strictly better than sequential multiplexing on one chip, and "
+        "fleet mode (parallel/sharded.simulate_mpc_scan_packed_arms_"
+        "sharded) shards packed groups over the mesh with zero "
+        "collectives -- ndev x B arms per slice, verified "
+        "group-for-group against unsharded packed runs on the virtual "
+        "mesh (tests/test_parallel.py).")
     L.append(
         "- **Per-N cap retuning closes the long-horizon gap**: with the "
         "TPU-tuned caps (PCGConfig.tpu_tuned_max_iter, round 3: "
