@@ -362,6 +362,40 @@ def check_megakernel_solve(model, X, U, lam, goals, xs, results, n):
     return ok
 
 
+def check_mat_bands(model, X, U, lam, goals, xs, results, n):
+    """megakernel_mat_bands (canonical-layout band copies before the
+    in-kernel CG loop) is a pure layout hint: the whole-solve megakernel
+    must be BIT identical with it on and off."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mpcgpu_tpu.config import SolverConfig
+    from mpcgpu_tpu.sqp import sqp_solve
+
+    base = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=4),
+                               pallas_stages=True, megakernel=True,
+                               megakernel_solve=True)
+    rho = jnp.asarray(1e-3, jnp.float32)
+    tol = jnp.asarray(1e-6, jnp.float32)
+    outs = [sqp_solve(model,
+                      dataclasses.replace(base, megakernel_mat_bands=mb),
+                      X, U, lam, goals, xs, rho, tol, "pcg")
+            for mb in (False, True)]
+    errs = {
+        "x_maxdiff": float(np.max(np.abs(np.asarray(outs[0].X)
+                                         - np.asarray(outs[1].X)))),
+        "lam_maxdiff": float(np.max(np.abs(np.asarray(outs[0].lam)
+                                           - np.asarray(outs[1].lam)))),
+        "sqp_iters_match": int(outs[0].stats.sqp_iters)
+        == int(outs[1].stats.sqp_iters),
+    }
+    ok = (errs["x_maxdiff"] == 0.0 and errs["lam_maxdiff"] == 0.0
+          and errs["sqp_iters_match"])
+    results[f"mat_bands_n{n}"] = {"ok": ok, **errs}
+    return ok
+
+
 def check_packed_arms(model, X, U, lam, goals, xs, results, n, b_arms=2):
     """The arm-packed whole-solve megakernel (B arms sharing the lane
     batch, per-arm dots / edge masks / rho rows) must reproduce B
@@ -482,7 +516,15 @@ def main():
 
     import __graft_entry__ as g
 
-    results: dict = {"device": str(dev), "ts": time.time()}
+    out = Path(args.out) if args.out else (
+        REPO / "results" / f"kernel_regression_{dev.platform}.json")
+    results: dict = {}
+    if args.checks is not None and out.exists():
+        # filtered run: merge into the existing archive instead of
+        # clobbering the full suite's results
+        results = json.loads(out.read_text())
+        results.pop("all_ok", None)
+    results.update({"device": str(dev), "ts": time.time()})
     all_ok = True
     rho = jnp.asarray(1e-3, jnp.float32)
 
@@ -531,6 +573,11 @@ def main():
                     ("megakernel_solve",
                      lambda: check_megakernel_solve(model, X, U, lam, goals,
                                                     xs, results, n)))
+            if n == 64:
+                checks.append(
+                    ("mat_bands",
+                     lambda: check_mat_bands(model, X, U, lam, goals,
+                                             xs, results, n)))
             if n <= 64:
                 # arm-packed megakernel: B=2 arms fit the 128-lane tile
                 checks.append(
@@ -562,8 +609,6 @@ def main():
             if key in results:
                 print(f"  {key}: {results[key]}")
         # checkpoint partial results so mid-run failures are inspectable
-        out = Path(args.out) if args.out else (
-            REPO / "results" / f"kernel_regression_{dev.platform}.json")
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_text(json.dumps(results, indent=1))
 
@@ -576,9 +621,10 @@ def main():
                               "error": traceback.format_exc()[-800:]}
         all_ok = False
 
+    # with merged (filtered-run) entries, all_ok covers the whole archive
+    all_ok = all_ok and all(v.get("ok", True) for v in results.values()
+                            if isinstance(v, dict))
     results["all_ok"] = all_ok
-    out = Path(args.out) if args.out else (
-        REPO / "results" / f"kernel_regression_{dev.platform}.json")
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(results, indent=1))
     print(f"{'ALL OK' if all_ok else 'FAILURES'} -> {out}")
