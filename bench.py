@@ -80,6 +80,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from mpcgpu_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
+
     from mpcgpu_tpu.config import SolverConfig, default_pcg_exit_tols
     from mpcgpu_tpu.models.robot import iiwa14
     from mpcgpu_tpu.sim import simulate_mpc_scan

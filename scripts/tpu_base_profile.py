@@ -28,6 +28,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from mpcgpu_tpu.utils.compcache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 
 
