@@ -42,7 +42,10 @@ def main() -> int:
     ap.add_argument("--updates", type=int, default=256)
     ap.add_argument("--linsys", default="pcg",
                     choices=["pcg", "bcr", "bcr_pcg", "pcg_pallas", "dense",
-                             "qdldl"])
+                             "qdldl", "auto"],
+                    help="'auto' = pcg with the rho-bail-rate monitor, "
+                    "failing over to bcr_pcg when the EMA trips "
+                    "(SolverConfig.failover_*; the pair-1_0 rescue)")
     ap.add_argument("--megakernel", action="store_true",
                     help="iteration-scope megakernel (one Pallas dispatch "
                     "per SQP iteration; slower than --mega-solve, kept as "
@@ -99,8 +102,10 @@ def main() -> int:
     model = iiwa14()
 
     # the whole-solve megakernel only serves the pcg backend
-    # (sqp.py:219); keep other backends' defaults unchanged
-    mega_solve = args.mega_solve and linsys == "pcg"
+    # (sqp.py:219); keep other backends' defaults unchanged.  In auto
+    # mode the pcg branch of the failover cond still gets it (sqp_solve
+    # gates per-branch via megakernel_engages).
+    mega_solve = args.mega_solve and linsys in ("pcg", "auto")
     cfg = dataclasses.replace(
         SolverConfig.for_knots(n, sqp_max_iter=args.sqp_max_iter),
         pallas_stages=True,      # fused lane-batched stage kernels
@@ -123,7 +128,7 @@ def main() -> int:
     rho = jnp.asarray(1e-3, jnp.float32)
     tol = (args.pcg_exit_tol if args.pcg_exit_tol is not None
            else default_pcg_exit_tols(n)[0])  # reference-tuned per-N tol
-    if args.pcg_max_iter is None and linsys == "pcg":
+    if args.pcg_max_iter is None and linsys in ("pcg", "auto"):
         # TPU-retuned iteration caps: the reference's GPU-tuned values are
         # ~4x too high here (results/round2/cap_sweep.json)
         from mpcgpu_tpu.config import PCGConfig
@@ -132,12 +137,14 @@ def main() -> int:
             cfg, pcg=dataclasses.replace(
                 cfg.pcg, max_iter=PCGConfig.tpu_tuned_max_iter(n)))
 
-    # warm-up: a few chained solves to warm-start lam (REMOVE_JITTERS)
+    # warm-up: a few chained solves to warm-start lam (REMOVE_JITTERS);
+    # auto mode starts on its pcg branch
+    warm_ls = "pcg" if linsys == "auto" else linsys
     res = sqp_solve(model, cfg, X, U, lam, jnp.asarray(ee[:n]), jnp.asarray(xs),
-                    rho, 1e-11, linsys)
+                    rho, 1e-11, warm_ls)
     for _ in range(4):
         res = sqp_solve(model, cfg, X, U, res.lam, jnp.asarray(ee[:n]),
-                        jnp.asarray(xs), res.rho, 1e-11, linsys)
+                        jnp.asarray(xs), res.rho, 1e-11, warm_ls)
     lam, rho = res.lam, jnp.asarray(1e-3, jnp.float32)
 
     # compile + correctness pass
@@ -227,6 +234,9 @@ def main() -> int:
                     "avg_pcg_iters_per_update": round(
                         float(np.asarray(out["pcg_iters_total"]).mean()), 1
                     ),
+                    **({"failed_over_updates": int(
+                        np.asarray(out["failed_over"]).sum())}
+                       if "failed_over" in out else {}),
                     "budget_us": budget_us,
                 },
             }

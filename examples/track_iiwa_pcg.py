@@ -27,7 +27,11 @@ def main():
     ap.add_argument("--max-timesteps", type=int, default=None)
     ap.add_argument("--sqp-max-iter", type=int, default=40)
     ap.add_argument("--tols", type=float, nargs="*", default=None)
-    ap.add_argument("--linsys", default="pcg", choices=["pcg", "pcg_pallas", "dense", "qdldl", "bcr", "bcr_pcg"])
+    ap.add_argument("--linsys", default="pcg",
+                    choices=["pcg", "pcg_pallas", "dense", "qdldl", "bcr",
+                             "bcr_pcg", "auto"],
+                    help="'auto' = pcg with the rho-bail-rate failover to "
+                    "bcr_pcg (SolverConfig.failover_*)")
     ap.add_argument("--no-precond", action="store_true",
                     help="ENABLE_PRECONDITIONING=0 ablation")
     ap.add_argument("--hessian", default="reference",

@@ -148,6 +148,18 @@ class SolverConfig:
     # copy cost.  Kept as a knob; off by default.
     megakernel_mat_bands: bool = False
 
+    # linsys="auto" failover (sim loops): run the tracking-grade "pcg"
+    # backend, monitoring an EMA of the per-update rho-bail rate, and
+    # latch over to the exact-dual "bcr_pcg" backend once the EMA
+    # exceeds the threshold.  This is the operational rule from the
+    # pair-1_0 diagnosis (results/round3/outlier_1_0_diagnosis.json):
+    # stair-preconditioner-hostile trajectories reject steps and bail
+    # every ~6 updates (rate ~0.17, vs ~0 on healthy pairs), and
+    # bcr_pcg reaches those pairs' exact tracking floor at ~2.3 CG
+    # iterations/solve.  EMA update: ema <- d*ema + (1-d)*bailed.
+    failover_bail_rate: float = 0.10
+    failover_ema_decay: float = 0.90
+
     @property
     def jax_dtype(self):
         import jax.numpy as jnp

@@ -60,6 +60,9 @@ class MPCRecord:
     linsys_times_us: List[float] = dataclasses.field(default_factory=list)
     dz_times_us: List[float] = dataclasses.field(default_factory=list)
     line_search_times_us: List[float] = dataclasses.field(default_factory=list)
+    # per update in linsys="auto" mode: True where the bcr_pcg failover
+    # backend ran (the rho-bail-rate monitor had latched)
+    failed_over: List[bool] = dataclasses.field(default_factory=list)
     final_tracking_error: float = float("nan")
     control_updates: int = 0
     timesteps: int = 0
@@ -249,6 +252,14 @@ def simulate_mpc(
 
     X0, U0 = X, U
 
+    # linsys="auto": start on the tracking-grade pcg backend and fail
+    # over to bcr_pcg when the rho-bail-rate EMA trips (the pair-1_0
+    # operational rule; see simulate_mpc_scan's body_auto for the
+    # device-resident twin of this host-level monitor).
+    auto = linsys == "auto"
+    cur_linsys = "pcg" if auto else linsys
+    bail_ema, failed = 0.0, False
+
     # ---- warm-up (REMOVE_JITTERS, mpcsim.cuh:259-279): also compiles.
     if warmup_iters > 0:
         warm_cfg = dataclasses.replace(
@@ -256,7 +267,7 @@ def simulate_mpc(
         )
         for _ in range(warmup_iters):
             res = sqp_solve(model, warm_cfg, X, U, lam, goals, xs, rho,
-                            jnp.asarray(1e-11, dtype), linsys)
+                            jnp.asarray(1e-11, dtype), cur_linsys)
             lam, rho = res.lam, res.rho
             X, U = X0, U0
         rho = jnp.asarray(cfg.rho_init, dtype)
@@ -266,7 +277,7 @@ def simulate_mpc(
         # compile (the reference's REMOVE_JITTERS warms the exact kernels
         # it measures).
         res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho,
-                        jnp.asarray(pcg_exit_tol, dtype), linsys)
+                        jnp.asarray(pcg_exit_tol, dtype), cur_linsys)
         np.asarray(res.stats.final_merit)  # hard sync (see CLAUDE.md)
         if fine_grained_timing:
             # the fine-grained mode dispatches separately-jitted phases;
@@ -274,7 +285,7 @@ def simulate_mpc(
             from mpcgpu_tpu.sqp import sqp_solve_fine_grained
 
             sqp_solve_fine_grained(model, cfg, X, U, lam, goals, xs, rho,
-                                   jnp.asarray(pcg_exit_tol, dtype), linsys)
+                                   jnp.asarray(pcg_exit_tol, dtype), cur_linsys)
 
     max_substeps = max(
         1, int(np.ceil(cfg.simulation_period_us * 1e-6 / cfg.sim_step_time)) + 1
@@ -299,7 +310,7 @@ def simulate_mpc(
             from mpcgpu_tpu.sqp import sqp_solve_fine_grained
 
             res, phase_times = sqp_solve_fine_grained(
-                model, cfg, X, U, lam, goals, xs, rho, tol_j, linsys)
+                model, cfg, X, U, lam, goals, xs, rho, tol_j, cur_linsys)
             rec.kkt_times_us.append(sum(phase_times["kkt"]))
             rec.schur_times_us.append(sum(phase_times["schur"]))
             rec.linsys_times_us.append(sum(phase_times["linsys"]))
@@ -307,7 +318,7 @@ def simulate_mpc(
             rec.line_search_times_us.append(sum(phase_times["line_search"]))
         else:
             res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho, tol_j,
-                            linsys)
+                            cur_linsys)
         # block_until_ready is not a hard sync on the remote-tunneled TPU
         # (CLAUDE.md); force the sync with a scalar fetch before timing.
         np.asarray(res.stats.final_merit)
@@ -349,6 +360,18 @@ def simulate_mpc(
         rec.sqp_times_us.append(solve_us)
         rec.sqp_exits.append(bool(stats.rho_bailed))
         rec.tracking_path.append(np.asarray(xs))
+        if auto:
+            rec.failed_over.append(failed)
+            if not failed:
+                d = cfg.failover_ema_decay
+                bail_ema = d * bail_ema + (1.0 - d) * float(stats.rho_bailed)
+                if bail_ema > cfg.failover_bail_rate:
+                    failed = True
+                    cur_linsys = "bcr_pcg"
+                    if verbose:
+                        print(f"update {update}: rho-bail EMA "
+                              f"{bail_ema:.3f} > {cfg.failover_bail_rate} "
+                              f"-- failing over to bcr_pcg")
 
         if verbose and update % 200 == 0:
             print(
@@ -433,12 +456,9 @@ def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
     )
     period = cfg.simulation_period_us
 
-    def body(carry, inputs):
-        xs, X, U, goals, lam, rho, U_prev, first = carry
-        shift_now, off = inputs
-
-        res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho,
-                        pcg_exit_tol, linsys)
+    def _post_solve(res, xs, goals, U_prev, first, shift_now, off):
+        """Rollout + shift + re-injection shared by the fixed-backend and
+        auto-failover scan bodies (identical traced ops either way)."""
         X, U, lam, rho = res.X, res.U, res.lam, res.rho
 
         offset_us = jnp.where(first, 0.0, period)
@@ -456,12 +476,57 @@ def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
                jnp.sum(jnp.where(res.stats.pcg_iters >= 0,
                                  res.stats.pcg_iters, 0)),
                jnp.sum(res.stats.pcg_hit_max), res.stats.rho_bailed, xs)
+        return (xs, X, U, goals, lam, rho, U_prev), out
+
+    def body(carry, inputs):
+        xs, X, U, goals, lam, rho, U_prev, first = carry
+        shift_now, off = inputs
+
+        res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho,
+                        pcg_exit_tol, linsys)
+        (xs, X, U, goals, lam, rho, U_prev), out = _post_solve(
+            res, xs, goals, U_prev, first, shift_now, off)
         return (xs, X, U, goals, lam, rho, U_prev, jnp.bool_(False)), out
 
-    init = (xs0, X, U, goals0, lam, rho, U, jnp.bool_(True))
-    carry, outs = jax.lax.scan(body, init, (do_shift, offsets))
-    errs, shifted, sqp_iters, pcg_iters, pcg_hits, bails, path = outs
-    return {
+    def body_auto(carry, inputs):
+        # rho-bail failover (the pair-1_0 operational rule, RESULTS.md):
+        # solve with "pcg" until the bail-rate EMA trips the threshold,
+        # then latch onto the exact-dual "bcr_pcg" backend.  Both branch
+        # solvers return the same SQPResult pytree, so lax.cond runs
+        # exactly one per update.
+        xs, X, U, goals, lam, rho, U_prev, first, ema, failed = carry
+        shift_now, off = inputs
+
+        used_bcr = failed
+        ops = (X, U, lam, goals, xs, rho)
+        res = jax.lax.cond(
+            failed,
+            lambda o: sqp_solve(model, cfg, o[0], o[1], o[2], o[3], o[4],
+                                o[5], pcg_exit_tol, "bcr_pcg"),
+            lambda o: sqp_solve(model, cfg, o[0], o[1], o[2], o[3], o[4],
+                                o[5], pcg_exit_tol, "pcg"),
+            ops)
+        (xs, X, U, goals, lam, rho, U_prev), out = _post_solve(
+            res, xs, goals, U_prev, first, shift_now, off)
+
+        bail = res.stats.rho_bailed.astype(ema.dtype)
+        ema = cfg.failover_ema_decay * ema + (
+            1.0 - cfg.failover_ema_decay) * bail
+        failed = jnp.logical_or(failed, ema > cfg.failover_bail_rate)
+        return (xs, X, U, goals, lam, rho, U_prev, jnp.bool_(False),
+                ema, failed), out + (used_bcr,)
+
+    if linsys == "auto":
+        init = (xs0, X, U, goals0, lam, rho, U, jnp.bool_(True),
+                jnp.zeros((), X.dtype), jnp.bool_(False))
+        carry, outs = jax.lax.scan(body_auto, init, (do_shift, offsets))
+        errs, shifted, sqp_iters, pcg_iters, pcg_hits, bails, path, fo = outs
+    else:
+        init = (xs0, X, U, goals0, lam, rho, U, jnp.bool_(True))
+        carry, outs = jax.lax.scan(body, init, (do_shift, offsets))
+        errs, shifted, sqp_iters, pcg_iters, pcg_hits, bails, path = outs
+        fo = None
+    res = {
         "tracking_errors": errs,
         "shifted": shifted,
         "sqp_iters": sqp_iters,
@@ -471,6 +536,9 @@ def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
         "tracking_path": path,
         "final_xs": carry[0],
     }
+    if fo is not None:
+        res["failed_over"] = fo  # per update: True where bcr_pcg ran
+    return res
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_updates", "linsys", "batch"))
