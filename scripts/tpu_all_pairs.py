@@ -43,8 +43,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--knots", type=int, default=64)
     ap.add_argument("--updates", type=int, default=512)
-    ap.add_argument("--linsys", nargs="*", default=["pcg", "bcr"])
-    ap.add_argument("--megakernel", action="store_true")
+    ap.add_argument("--linsys", nargs="*", default=["pcg", "bcr", "auto"])
+    ap.add_argument("--megakernel", action="store_true",
+                    help="flagship config: whole-solve megakernel "
+                    "(megakernel + megakernel_solve)")
+    ap.add_argument("--out-dir", default="round4")
     ap.add_argument("--pcg-max-iter", type=int, default=40,
                     help="TPU-retuned cap (results/round2/cap_sweep.json)")
     args = ap.parse_args()
@@ -61,7 +64,8 @@ def main():
     n = args.knots
     model = iiwa14()
     cfg = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=4),
-                              pallas_stages=True, megakernel=args.megakernel)
+                              pallas_stages=True, megakernel=args.megakernel,
+                              megakernel_solve=args.megakernel)
     cfg = dataclasses.replace(
         cfg, pcg=dataclasses.replace(cfg.pcg, max_iter=args.pcg_max_iter))
     tol = default_pcg_exit_tols(n)[0]
@@ -72,10 +76,15 @@ def main():
 
     from mpcgpu_tpu.sqp import megakernel_engages
 
+    # "auto" runs pcg until the rho-bail EMA latches, then bcr_pcg
+    # (sim.py body_auto); megasolve engagement follows the live branch.
+    engagement = {ls: (megakernel_engages(cfg, "pcg") if ls == "auto"
+                       else megakernel_engages(cfg, ls))
+                  for ls in args.linsys}
     results = {"device": str(jax.devices()[0]), "knots": n,
                "n_updates": args.updates, "pcg_exit_tol": tol,
-               "megakernel": {ls: megakernel_engages(cfg, ls)
-                              for ls in args.linsys},
+               "megakernel": engagement,
+               "megakernel_solve": bool(cfg.megakernel_solve),
                "timing_protocol": "one static shape for all pairs "
                "(padded + traced traj_len); pipelined-dispatch slope "
                "(utils/benchtime.py) excludes compile AND the remote "
@@ -83,7 +92,7 @@ def main():
                "eepos_provenance": "0_0 reference-recorded; others FK-"
                "synthesized (utils/trajfiles.py)",
                "rows": {}}
-    out = REPO / "results" / "round3" / "tpu_all_pairs.json"
+    out = REPO / "results" / args.out_dir / "tpu_all_pairs.json"
     out.parent.mkdir(parents=True, exist_ok=True)
 
     # ---- load everything first; pad to ONE static trajectory shape
@@ -109,13 +118,16 @@ def main():
         tlen = jnp.asarray(true_len, jnp.int32)
         row = {}
         for linsys in args.linsys:
+            # the auto monitor starts on pcg (sim.py body_auto); warm the
+            # duals with the same backend it starts on
+            warm_ls = "pcg" if linsys == "auto" else linsys
             lam = jnp.zeros((n, 14), jnp.float32)
             rho = jnp.asarray(1e-3, jnp.float32)
             res = sqp_solve(model, cfg, X, U, lam, jnp.asarray(ee[:n]),
-                            jnp.asarray(xs), rho, 1e-11, linsys)
+                            jnp.asarray(xs), rho, 1e-11, warm_ls)
             for _ in range(4):
                 res = sqp_solve(model, cfg, X, U, res.lam, jnp.asarray(ee[:n]),
-                                jnp.asarray(xs), res.rho, 1e-11, linsys)
+                                jnp.asarray(xs), res.rho, 1e-11, warm_ls)
             # warm pass: compiles on the first (pair, solver), warms the
             # cache on the rest; also the correctness pass
             o = simulate_mpc_scan(model, cfg, xu_j, ee_j, X, U, res.lam,
@@ -144,6 +156,12 @@ def main():
                     float(np.asarray(o["pcg_iters_total"]).mean()), 1),
                 "us_per_update": round(per_update, 1),
             }
+            if "failed_over" in o:
+                fo = np.asarray(o["failed_over"])
+                row[linsys]["failover_rate"] = round(float(fo.mean()), 3)
+                row[linsys]["failed_over"] = bool(fo[-1])
+                row[linsys]["rho_bail_rate"] = round(
+                    float(np.asarray(o["rho_bailed"]).mean()), 3)
         if all(s in row for s in ("pcg", "bcr")):
             b = row["bcr"]["avg_tracking_error_m"]
             row["err_ratio_pcg_over_bcr"] = round(
