@@ -149,15 +149,25 @@ class SolverConfig:
     megakernel_mat_bands: bool = False
 
     # linsys="auto" failover (sim loops): run the tracking-grade "pcg"
-    # backend, monitoring an EMA of the per-update rho-bail rate, and
-    # latch over to the exact-dual "bcr_pcg" backend once the EMA
-    # exceeds the threshold.  This is the operational rule from the
-    # pair-1_0 diagnosis (results/round3/outlier_1_0_diagnosis.json):
-    # stair-preconditioner-hostile trajectories reject steps and bail
-    # every ~6 updates (rate ~0.17, vs ~0 on healthy pairs), and
-    # bcr_pcg reaches those pairs' exact tracking floor at ~2.3 CG
-    # iterations/solve.  EMA update: ema <- d*ema + (1-d)*bailed.
+    # backend, monitoring an EMA of the per-update rho-bail rate AND an
+    # EMA of the tracking error, and latch over to the exact-dual
+    # "bcr_pcg" backend once BOTH exceed their thresholds.  This is the
+    # operational rule from the pair-1_0 diagnosis
+    # (results/round3/outlier_1_0_diagnosis.json): stair-preconditioner-
+    # hostile trajectories reject steps and bail every ~6 updates (rate
+    # ~0.17), and bcr_pcg reaches those pairs' exact tracking floor at
+    # ~2.3 CG iterations/solve.  The error gate exists because rho bails
+    # alone do NOT separate hostile from healthy pairs: the round-4
+    # all-pairs run (results/round4/tpu_all_pairs.json) showed healthy
+    # trajectories (0_0: 0.043 m under pcg) also bail sporadically, and
+    # a bail-only rule latched them onto bcr_pcg where truncated-PCG's
+    # beneficial damping is lost (0.043 -> 0.203 m).  Tracking error is
+    # the outcome the failover exists to protect, and the loop already
+    # computes it every update: healthy pairs sit at 0.02-0.14 m, the
+    # hostile 1_0 at ~0.39 m -- 0.20 m separates them cleanly.
+    # EMA updates: ema <- d*ema + (1-d)*sample, one per signal.
     failover_bail_rate: float = 0.10
+    failover_err_threshold_m: float = 0.20
     failover_ema_decay: float = 0.90
 
     @property

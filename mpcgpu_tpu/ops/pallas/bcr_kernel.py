@@ -250,6 +250,12 @@ def bcr_dz_pallas_lanes(ls, interpret: bool = None):
 
     Drop-in for pcg_dz_pallas_lanes (no warm start / tolerance needed):
     returns (lam (s,N), dX (N,s), dU (N-1,nu), iters=0, hit_max=False).
+
+    N <= 256 runs everything (solve + refinement + dz) in ONE kernel;
+    beyond that the refinement buffers push the single kernel past the
+    ~16 MB VMEM, so N = 512 dispatches the solve-only kernel twice
+    (solve, then refine on the residual -- the SAME compiled program)
+    with the banded residual and dz recovery as XLA glue.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -257,6 +263,16 @@ def bcr_dz_pallas_lanes(ls, interpret: bool = None):
     nu = ls.Rinv.shape[0]
     f32 = ls.gamma.dtype
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if n > 256:
+        from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import compute_dz_lanes
+
+        lam0 = bcr_solve_pallas_lanes(ls.SL, ls.SD, ls.SU, ls.gamma,
+                                      interpret=interpret)
+        r = ls.gamma - _band_spmv_xla(ls.SL, ls.SD, ls.SU, lam0)
+        lam_t = lam0 + bcr_solve_pallas_lanes(ls.SL, ls.SD, ls.SU, r,
+                                              interpret=interpret)
+        dX, dU = compute_dz_lanes(ls, lam_t)
+        return lam_t, dX, dU, jnp.int32(0), jnp.bool_(False)
     lam_t, dx_t, du_t = pl.pallas_call(
         functools.partial(_bcr_dz_kernel, s, nu),
         out_shape=(
@@ -272,3 +288,38 @@ def bcr_dz_pallas_lanes(ls, interpret: bool = None):
         ls.A, ls.B, ls.q, ls.r, ls.Qinv, ls.Rinv,
     )
     return lam_t, dx_t.T, du_t.T[:-1], jnp.int32(0), jnp.bool_(False)
+
+
+def _band_spmv_xla(SL, SD, SU, x):
+    """Banded y = S x in lane layout ((s, s, N) bands, (s, N) vector) as
+    plain XLA einsums -- glue for the split long-horizon BCR path.  The
+    zero edge blocks (SL[:, :, 0], SU[:, :, N-1]) absorb the roll
+    wrap-around, as in pcg_kernel._band_spmv."""
+    xm = jnp.roll(x, 1, axis=1)
+    xp = jnp.roll(x, -1, axis=1)
+    return (jnp.einsum("ijk,jk->ik", SD, x)
+            + jnp.einsum("ijk,jk->ik", SL, xm)
+            + jnp.einsum("ijk,jk->ik", SU, xp))
+
+
+def _bcr_solve_kernel(sl_ref, sd_ref, su_ref, gamma_ref, lam_out_ref):
+    """Solve-only cyclic reduction (no refinement, no dz): the minimal
+    VMEM footprint form, dispatched twice for N = 512 (solve + refine)."""
+    lam_out_ref[:] = _bcr_lanes(sd_ref[:], sl_ref[:], su_ref[:],
+                                gamma_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bcr_solve_pallas_lanes(SL, SD, SU, gamma, interpret: bool = None):
+    """One unrefined BCR solve in lane layout; returns lam (s, N)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, n = gamma.shape
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bcr_solve_kernel,
+        out_shape=jax.ShapeDtypeStruct((s, n), gamma.dtype),
+        in_specs=[vmem] * 4,
+        out_specs=vmem,
+        interpret=interpret,
+    )(SL, SD, SU, gamma)

@@ -190,6 +190,41 @@ def _perknot(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     return A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq
 
 
+def _perknot_tiled(nq: int, nu: int, dt: float, qd_cost: float,
+                   r_cost: float, integrator_type: int, gravity: float,
+                   hessian: str, rho, X, U, goals, x_tab, h_tab, dh_tab,
+                   I_tab, wrap: bool = False, tracking: str = "eepos",
+                   q_cost: float = 1.0, tile: int = 128):
+    """_perknot at multi-tile lane widths: an unrolled in-kernel loop over
+    128-lane tiles (static, tile-aligned slices), outputs reassembled by
+    lane-axis concatenation.
+
+    The tangent-RNEA stage inside _perknot is the one routine that must
+    stay at single-tile lane widths (the round-1 Mosaic lesson, CLAUDE.md);
+    everything per-knot is lane-local, so slicing the knot axis is exact.
+    This is the in-kernel counterpart of form_kkt_schur_tiled's Pallas
+    grid -- used by the whole-solve megakernel, whose SQP/CG loops cannot
+    cross a grid boundary."""
+    n = X.shape[1]
+    if n <= tile:
+        return _perknot(nq, nu, dt, qd_cost, r_cost, integrator_type,
+                        gravity, hessian, rho, X, U, goals, x_tab, h_tab,
+                        dh_tab, I_tab, wrap=wrap, tracking=tracking,
+                        q_cost=q_cost)
+    assert n % tile == 0, f"multi-tile lane width {n} must be a multiple of {tile}"
+    parts = []
+    for t in range(n // tile):
+        sl = lambda a: jax.lax.slice_in_dim(a, t * tile, (t + 1) * tile,
+                                            axis=a.ndim - 1)
+        rho_t = sl(rho) if getattr(rho, "ndim", 0) == 2 else rho
+        parts.append(_perknot(
+            nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
+            rho_t, sl(X), sl(U), sl(goals), x_tab, h_tab, dh_tab, I_tab,
+            wrap=wrap, tracking=tracking, q_cost=q_cost))
+    return tuple(jnp.concatenate(ps, axis=ps[0].ndim - 1)
+                 for ps in zip(*parts))
+
+
 def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
             integrator_type: int, gravity: float, hessian: str,
             precond: bool, wrap: bool, tracking: str, q_cost: float,

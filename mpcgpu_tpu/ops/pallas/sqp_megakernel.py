@@ -43,27 +43,37 @@ from jax.experimental.pallas import tpu as pltpu
 from mpcgpu_tpu.models.robot import RobotModel
 from mpcgpu_tpu.ops.pallas import lanedyn as ld
 from mpcgpu_tpu.ops.pallas.bcr_kernel import _bcr_refined
-from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import _lane_mask, _perknot
+from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (_lane_mask, _perknot,
+                                                    _perknot_tiled)
 from mpcgpu_tpu.ops.pallas.pcg_kernel import _band_spmv_lead, _pcg_loop
 
 
-def _line_search(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
-                 integrator_type: int, gravity: float, mu: float,
-                 num_alphas: int, X, U, dX, dU, goals, xs,
-                 x_tab, h_tab, I_tab, wrap: bool = False,
-                 tracking: str = "eepos", q_cost: float = 1.0):
-    """8-alpha candidate merit evaluation, candidate-major lane batch
-    b = a*N + k (common/merit.cuh semantics; the incumbent merit arrives
-    from the previous iteration).  Returns (best_merit, best_alpha)."""
+# The line-search candidate batch runs at (candidates * N) lanes; widths
+# through 9 * 512 = 4608 are hardware-proven (the staged merit kernel at
+# N = 512, ops/pallas/merit_kernel.py, horizon-scaling runs).  Beyond the
+# budget, candidates are evaluated in lane-budget-sized groups (an
+# unrolled outer loop) -- the running argmin preserves the candidate
+# order, so selection semantics are unchanged.
+_LS_MAX_LANES = 4096
+
+
+def _ls_contrib(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
+                integrator_type: int, gravity: float, mu: float,
+                group, X, U, dX, dU, goals, xs,
+                x_tab, h_tab, I_tab, wrap: bool,
+                tracking: str, q_cost: float):
+    """Per-lane merit contributions for a group of alpha candidates,
+    candidate-major lane batch b = a*N + k (common/merit.cuh semantics).
+    Returns contrib (1, len(group)*N)."""
     n = X.shape[1]
     dtype = X.dtype
-    alphas = [1.0 / 2 ** i for i in range(num_alphas)]
+    g = len(group)
     one = _lane_mask(n, 0, n, dtype)  # forces materialized layouts for concat
-    Xc = jnp.concatenate([X + (a * one) * dX for a in alphas], axis=1)
-    Uc = jnp.concatenate([U + (a * one) * dU for a in alphas], axis=1)
-    goals_c = jnp.concatenate([goals] * num_alphas, axis=1)
+    Xc = jnp.concatenate([X + (a * one) * dX for a in group], axis=1)
+    Uc = jnp.concatenate([U + (a * one) * dU for a in group], axis=1)
+    goals_c = jnp.concatenate([goals] * g, axis=1)
 
-    b = jax.lax.broadcasted_iota(jnp.int32, (1, num_alphas * n), 1)
+    b = jax.lax.broadcasted_iota(jnp.int32, (1, g * n), 1)
     k_idx = b % n
     mc_last = (k_idx < n - 1).astype(dtype)
     mc0 = (k_idx == 0).astype(dtype)
@@ -95,18 +105,41 @@ def _line_search(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     xc_next = pltpu.roll(Xc, Xc.shape[1] - 1, axis=1)
     defect = ld.row_sum(jnp.abs(xc_next - f_c)) * mc_last
     c0 = ld.row_sum(jnp.abs(Xc - xs)) * mc0
-    contrib = cost + mu * (defect + c0)       # (1, A*N)
+    return cost + mu * (defect + c0), b       # (1, g*N)
 
-    # per-candidate reduction + argmin, unrolled over the 8 candidates
-    cand = b // n
-    best_merit = jnp.sum(jnp.where(cand == 0, contrib, 0.0))
-    best_alpha = jnp.asarray(alphas[0], dtype)
-    for i in range(1, num_alphas):
-        m_i = jnp.sum(jnp.where(cand == i, contrib, 0.0))
-        take = m_i < best_merit
-        best_alpha = jnp.where(take, jnp.asarray(alphas[i], dtype),
-                               best_alpha)
-        best_merit = jnp.where(take, m_i, best_merit)
+
+def _line_search(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
+                 integrator_type: int, gravity: float, mu: float,
+                 num_alphas: int, X, U, dX, dU, goals, xs,
+                 x_tab, h_tab, I_tab, wrap: bool = False,
+                 tracking: str = "eepos", q_cost: float = 1.0):
+    """8-alpha candidate merit evaluation (the incumbent merit arrives
+    from the previous iteration).  Candidates run as one lane batch up to
+    _LS_MAX_LANES, in groups beyond (N >= 256).  Returns
+    (best_merit, best_alpha)."""
+    n = X.shape[1]
+    dtype = X.dtype
+    alphas = [1.0 / 2 ** i for i in range(num_alphas)]
+    chunk = max(1, min(num_alphas, _LS_MAX_LANES // n))
+
+    best_merit = best_alpha = None
+    for c0 in range(0, num_alphas, chunk):
+        group = alphas[c0:c0 + chunk]
+        contrib, b = _ls_contrib(
+            nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, mu,
+            group, X, U, dX, dU, goals, xs, x_tab, h_tab, I_tab,
+            wrap, tracking, q_cost)
+        cand = b // n
+        for i, a in enumerate(group):
+            m_i = jnp.sum(jnp.where(cand == i, contrib, 0.0))
+            if best_merit is None:
+                best_merit = m_i
+                best_alpha = jnp.asarray(a, dtype)
+            else:
+                take = m_i < best_merit
+                best_alpha = jnp.where(take, jnp.asarray(a, dtype),
+                                       best_alpha)
+                best_merit = jnp.where(take, m_i, best_merit)
     return best_merit, best_alpha
 
 
@@ -235,8 +268,9 @@ def _iteration_pcg(nq: int, nu: int, dt: float, qd_cost: float,
     n = X.shape[1]
     dtype = X.dtype
 
-    # ---- KKT linearization + per-knot Schur products
-    (A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = _perknot(
+    # ---- KKT linearization + per-knot Schur products (tiled in-kernel
+    # beyond 128 lanes: the tangent-RNEA stage is single-tile-bound)
+    (A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = _perknot_tiled(
         nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
         rho, X, U, goals, x_tab, h_tab, dh_tab, I_tab,
         wrap=wrap, tracking=tracking, q_cost=q_cost,
@@ -522,63 +556,79 @@ def _line_search_packed(nq: int, nu: int, dt: float, qd_cost: float,
     nt = b_arms * n_arm
     dtype = X.dtype
     alphas = [1.0 / 2 ** i for i in range(num_alphas)]
-    one = _lane_mask(nt, 0, nt, dtype)
-    Xc = jnp.concatenate([X + (a * one) * dX for a in alphas], axis=1)
-    Uc = jnp.concatenate([U + (a * one) * dU for a in alphas], axis=1)
-    goals_c = jnp.concatenate([goals] * num_alphas, axis=1)
-    xs_c = jnp.concatenate([xs_l] * num_alphas, axis=1)
-
-    b = jax.lax.broadcasted_iota(jnp.int32, (1, num_alphas * nt), 1)
-    k_idx = b % n_arm
-    mc_last = (k_idx < n_arm - 1).astype(dtype)
-    mc0 = (k_idx == 0).astype(dtype)
-
-    q_c, qd_c = Xc[:nq], Xc[nq:]
-    if tracking == "joint":
-        dq_c = q_c - goals_c[:nq]
-        dqd_c = qd_c - goals_c[nq:]
-        cost = 0.5 * q_cost * ld.row_sum(dq_c * dq_c)
-        cost = cost + 0.5 * qd_cost * ld.row_sum(dqd_c * dqd_c)
-    else:
-        ee = ld.fk_ee_xyz(h_tab, q_c)
-        e3 = ee - goals_c
-        cost = 0.5 * ld.row_sum(e3 * e3)
-        cost = cost + 0.5 * qd_cost * ld.row_sum(qd_c * qd_c)
-    cost = cost + mc_last * 0.5 * r_cost * ld.row_sum(Uc * Uc)
-    qdd_c = ld.aba_qdd(x_tab, I_tab, q_c, qd_c, Uc, gravity)
-    if integrator_type == 0:
-        qn = q_c + dt * qd_c
-        qdn = qd_c + dt * qdd_c
-    else:
-        qdn = qd_c + dt * qdd_c
-        qn = q_c + dt * qdn
-    if wrap:
-        from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import _wrap_lane
-
-        qn = _wrap_lane(qn)
-    f_c = jnp.concatenate([qn, qdn], axis=0)
-    xc_next = pltpu.roll(Xc, Xc.shape[1] - 1, axis=1)
-    defect = ld.row_sum(jnp.abs(xc_next - f_c)) * mc_last
-    c0 = ld.row_sum(jnp.abs(Xc - xs_c)) * mc0
-    contrib = cost + mu * (defect + c0)        # (1, A*B*N)
-
-    # per-(candidate, arm) reduction: group index g = c*B + a.
-    # Results assembled at full (nx, nt) width (scalar-times-mask only;
-    # see _arm_lane_masks on why no (1, nt) rows).
-    grp = b // n_arm
+    chunk = max(1, min(num_alphas, _LS_MAX_LANES // nt))
     arm_masks = _arm_lane_masks(b_arms, n_arm, dtype, rows=2 * nq)
+    one = _lane_mask(nt, 0, nt, dtype)
+
+    # per-arm running argmin over candidate groups (candidate order
+    # preserved, so selection semantics match the single-batch form);
+    # bm_a / ba_a hold each arm's scalar chain
+    bm_arm = [None] * b_arms
+    ba_arm = [None] * b_arms
+    for g0 in range(0, num_alphas, chunk):
+        group = alphas[g0:g0 + chunk]
+        g = len(group)
+        Xc = jnp.concatenate([X + (a * one) * dX for a in group], axis=1)
+        Uc = jnp.concatenate([U + (a * one) * dU for a in group], axis=1)
+        goals_c = jnp.concatenate([goals] * g, axis=1)
+        xs_c = jnp.concatenate([xs_l] * g, axis=1)
+
+        b = jax.lax.broadcasted_iota(jnp.int32, (1, g * nt), 1)
+        k_idx = b % n_arm
+        mc_last = (k_idx < n_arm - 1).astype(dtype)
+        mc0 = (k_idx == 0).astype(dtype)
+
+        q_c, qd_c = Xc[:nq], Xc[nq:]
+        if tracking == "joint":
+            dq_c = q_c - goals_c[:nq]
+            dqd_c = qd_c - goals_c[nq:]
+            cost = 0.5 * q_cost * ld.row_sum(dq_c * dq_c)
+            cost = cost + 0.5 * qd_cost * ld.row_sum(dqd_c * dqd_c)
+        else:
+            ee = ld.fk_ee_xyz(h_tab, q_c)
+            e3 = ee - goals_c
+            cost = 0.5 * ld.row_sum(e3 * e3)
+            cost = cost + 0.5 * qd_cost * ld.row_sum(qd_c * qd_c)
+        cost = cost + mc_last * 0.5 * r_cost * ld.row_sum(Uc * Uc)
+        qdd_c = ld.aba_qdd(x_tab, I_tab, q_c, qd_c, Uc, gravity)
+        if integrator_type == 0:
+            qn = q_c + dt * qd_c
+            qdn = qd_c + dt * qdd_c
+        else:
+            qdn = qd_c + dt * qdd_c
+            qn = q_c + dt * qdn
+        if wrap:
+            from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import _wrap_lane
+
+            qn = _wrap_lane(qn)
+        f_c = jnp.concatenate([qn, qdn], axis=0)
+        xc_next = pltpu.roll(Xc, Xc.shape[1] - 1, axis=1)
+        defect = ld.row_sum(jnp.abs(xc_next - f_c)) * mc_last
+        c0 = ld.row_sum(jnp.abs(Xc - xs_c)) * mc0
+        contrib = cost + mu * (defect + c0)    # (1, g*B*N)
+
+        # per-(candidate, arm) reduction: group index grp = c*B + a
+        grp = b // n_arm
+        for a in range(b_arms):
+            for i, alpha in enumerate(group):
+                m_ia = jnp.sum(jnp.where(grp == i * b_arms + a,
+                                         contrib, 0.0))
+                if bm_arm[a] is None:
+                    bm_arm[a] = m_ia
+                    ba_arm[a] = jnp.asarray(alpha, dtype)
+                else:
+                    take = m_ia < bm_arm[a]
+                    ba_arm[a] = jnp.where(take, jnp.asarray(alpha, dtype),
+                                          ba_arm[a])
+                    bm_arm[a] = jnp.where(take, m_ia, bm_arm[a])
+
+    # results assembled at full (nx, nt) width (scalar-times-mask only;
+    # see _arm_lane_masks on why no (1, nt) rows)
     best_merit = jnp.zeros((2 * nq, nt), dtype)
     best_alpha = jnp.zeros((2 * nq, nt), dtype)
     for a in range(b_arms):
-        bm = jnp.sum(jnp.where(grp == a, contrib, 0.0))
-        ba = jnp.asarray(alphas[0], dtype)
-        for i in range(1, num_alphas):
-            m_i = jnp.sum(jnp.where(grp == i * b_arms + a, contrib, 0.0))
-            take = m_i < bm
-            ba = jnp.where(take, jnp.asarray(alphas[i], dtype), ba)
-            bm = jnp.where(take, m_i, bm)
-        best_merit = best_merit + arm_masks[a] * bm
-        best_alpha = best_alpha + arm_masks[a] * ba
+        best_merit = best_merit + arm_masks[a] * bm_arm[a]
+        best_alpha = best_alpha + arm_masks[a] * ba_arm[a]
     return best_merit, best_alpha
 
 
@@ -602,8 +652,11 @@ def _iteration_pcg_packed(nq: int, nu: int, dt: float, qd_cost: float,
     dtype = X.dtype
 
     # rho enters _perknot only as Q/R regularization -- a (1, nt) lane row
-    # broadcasts through Q + rho*I per knot, giving each arm its own rho
-    (A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = _perknot(
+    # broadcasts through Q + rho*I per knot, giving each arm its own rho.
+    # Tiled beyond 128 lanes (per-knot work is arm-agnostic, so tiling the
+    # packed lane axis is exact as long as nt % 128 == 0 keeps arm
+    # segments intact -- asserted by the caller).
+    (A, Bm, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq) = _perknot_tiled(
         nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
         rho_l, X, U, goals, x_tab, h_tab, dh_tab, I_tab,
         wrap=wrap, tracking=tracking, q_cost=q_cost,
@@ -772,8 +825,11 @@ def sqp_solve_mega_pcg_packed(model: RobotModel, Xl, Ul, goals_l, xs_l,
     nu = Ul.shape[0]
     nq = nx // 2
     f32 = Xl.dtype
-    assert nt % b_arms == 0 and nt <= 128
-    assert num_alphas * nt <= 1024
+    assert nt % b_arms == 0
+    # multi-tile packed widths tile the per-knot stage in 128-lane slices
+    # (_perknot_tiled) and chunk the line search (_LS_MAX_LANES)
+    assert nt <= 128 or nt % 128 == 0, (
+        f"packed lane width {nt} must be <= 128 or a multiple of 128")
     kern = functools.partial(
         _solve_kernel_pcg_packed, nq, nu, int(n_sqp_iter), int(b_arms),
         float(dt), float(qd_cost), float(r_cost), int(integrator_type),

@@ -107,6 +107,39 @@ def sharded_sqp_solve(model, cfg, mesh: Mesh, X, U, lam, goals, xs, rho,
     return sqp_solve(model, cfg, X, U, lam, goals, xs, rho, pcg_exit_tol, linsys)
 
 
+def simulate_mpc_scan_sharded(model, cfg, mesh: Mesh, xu_traj, ee_traj,
+                              X, U, lam, rho, pcg_exit_tol, n_updates: int,
+                              linsys: str = "pcg"):
+    """The device-resident CLOSED LOOP with the horizon sharded (GSPMD).
+
+    Round-4 completion of the sharded story: sharded_sqp_solve covers a
+    single solve, but the production artifact is the loop -- solve ->
+    plant rollout -> horizon shift -> measured-state re-injection
+    (sim.simulate_mpc_scan, the TPU shape of reference
+    include/mpcsim.cuh:286-451).  Here the loop's full carry (X, lam,
+    goals) stays knot-sharded across updates: the shift is a one-knot
+    jnp.roll (a collective-permute over ICI), the tail refill and
+    re-injection touch one shard each, and the trajectories are
+    replicated.  XLA GSPMD places all collectives from the input
+    shardings; the solver code is unchanged.
+
+    Uses the portable stage path (GSPMD cannot partition a monolithic
+    Pallas kernel; the fused-per-shard composition lives in
+    parallel/pcg_sharded_pallas via sharded_sqp_solve(fused_pcg=True)).
+    """
+    import dataclasses
+
+    from mpcgpu_tpu.sim import simulate_mpc_scan
+
+    if cfg.pallas_stages:
+        cfg = dataclasses.replace(cfg, pallas_stages=False,
+                                  megakernel=False, megakernel_solve=False)
+    X, lam = shard_horizon(mesh, X, lam)
+    xu_traj, ee_traj, U = replicate(mesh, xu_traj, ee_traj, U)
+    return simulate_mpc_scan(model, cfg, xu_traj, ee_traj, X, U, lam, rho,
+                             pcg_exit_tol, n_updates, linsys)
+
+
 # ---------------------------------------------------------------------------
 # Arm-parallel scale-out: one (or more) independent arms per chip.
 # ---------------------------------------------------------------------------

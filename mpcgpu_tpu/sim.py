@@ -253,12 +253,14 @@ def simulate_mpc(
     X0, U0 = X, U
 
     # linsys="auto": start on the tracking-grade pcg backend and fail
-    # over to bcr_pcg when the rho-bail-rate EMA trips (the pair-1_0
-    # operational rule; see simulate_mpc_scan's body_auto for the
-    # device-resident twin of this host-level monitor).
+    # over to bcr_pcg when BOTH the rho-bail-rate EMA and the tracking-
+    # error EMA trip (the error-gated pair-1_0 operational rule; see
+    # simulate_mpc_scan's body_auto for the device-resident twin of
+    # this host-level monitor, and SolverConfig on why bails alone
+    # don't separate hostile from healthy pairs).
     auto = linsys == "auto"
     cur_linsys = "pcg" if auto else linsys
-    bail_ema, failed = 0.0, False
+    bail_ema, err_ema, failed = 0.0, 0.0, False
 
     # ---- warm-up (REMOVE_JITTERS, mpcsim.cuh:259-279): also compiles.
     if warmup_iters > 0:
@@ -365,12 +367,16 @@ def simulate_mpc(
             if not failed:
                 d = cfg.failover_ema_decay
                 bail_ema = d * bail_ema + (1.0 - d) * float(stats.rho_bailed)
-                if bail_ema > cfg.failover_bail_rate:
+                err_ema = d * err_ema + (1.0 - d) * float(err)
+                if (bail_ema > cfg.failover_bail_rate
+                        and err_ema > cfg.failover_err_threshold_m):
                     failed = True
                     cur_linsys = "bcr_pcg"
                     if verbose:
                         print(f"update {update}: rho-bail EMA "
                               f"{bail_ema:.3f} > {cfg.failover_bail_rate} "
+                              f"and err EMA {err_ema:.3f} > "
+                              f"{cfg.failover_err_threshold_m} "
                               f"-- failing over to bcr_pcg")
 
         if verbose and update % 200 == 0:
@@ -489,12 +495,16 @@ def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
         return (xs, X, U, goals, lam, rho, U_prev, jnp.bool_(False)), out
 
     def body_auto(carry, inputs):
-        # rho-bail failover (the pair-1_0 operational rule, RESULTS.md):
-        # solve with "pcg" until the bail-rate EMA trips the threshold,
-        # then latch onto the exact-dual "bcr_pcg" backend.  Both branch
-        # solvers return the same SQPResult pytree, so lax.cond runs
-        # exactly one per update.
-        xs, X, U, goals, lam, rho, U_prev, first, ema, failed = carry
+        # error-gated rho-bail failover (the pair-1_0 operational rule,
+        # RESULTS.md): solve with "pcg" until BOTH the bail-rate EMA and
+        # the tracking-error EMA trip their thresholds, then latch onto
+        # the exact-dual "bcr_pcg" backend.  The error gate keeps healthy
+        # trajectories (which also bail sporadically but track well) on
+        # the tracking-grade pcg backend -- see SolverConfig.
+        # Both branch solvers return the same SQPResult pytree, so
+        # lax.cond runs exactly one per update.
+        (xs, X, U, goals, lam, rho, U_prev, first, ema, err_ema,
+         failed) = carry
         shift_now, off = inputs
 
         used_bcr = failed
@@ -509,16 +519,21 @@ def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
         (xs, X, U, goals, lam, rho, U_prev), out = _post_solve(
             res, xs, goals, U_prev, first, shift_now, off)
 
+        d = cfg.failover_ema_decay
         bail = res.stats.rho_bailed.astype(ema.dtype)
-        ema = cfg.failover_ema_decay * ema + (
-            1.0 - cfg.failover_ema_decay) * bail
-        failed = jnp.logical_or(failed, ema > cfg.failover_bail_rate)
+        ema = d * ema + (1.0 - d) * bail
+        err_ema = d * err_ema + (1.0 - d) * out[0].astype(err_ema.dtype)
+        failed = jnp.logical_or(
+            failed,
+            jnp.logical_and(ema > cfg.failover_bail_rate,
+                            err_ema > cfg.failover_err_threshold_m))
         return (xs, X, U, goals, lam, rho, U_prev, jnp.bool_(False),
-                ema, failed), out + (used_bcr,)
+                ema, err_ema, failed), out + (used_bcr,)
 
     if linsys == "auto":
         init = (xs0, X, U, goals0, lam, rho, U, jnp.bool_(True),
-                jnp.zeros((), X.dtype), jnp.bool_(False))
+                jnp.zeros((), X.dtype), jnp.zeros((), X.dtype),
+                jnp.bool_(False))
         carry, outs = jax.lax.scan(body_auto, init, (do_shift, offsets))
         errs, shifted, sqp_iters, pcg_iters, pcg_hits, bails, path, fo = outs
     else:
@@ -608,7 +623,9 @@ def simulate_mpc_scan_packed(model: RobotModel, cfg: SolverConfig, xu_traj,
     """
     n = cfg.knot_points
     nx, nu = cfg.state_size, cfg.nu
-    assert batch * n <= 128, "packed arms exceed the single-tile lane width"
+    assert batch * n <= 128 or (batch * n) % 128 == 0, (
+        "packed lane width must be <= 128 or a multiple of 128 "
+        "(multi-tile packing tiles the per-knot stage in-kernel)")
 
     from mpcgpu_tpu.ops.pallas.sqp_megakernel import sqp_solve_mega_pcg_packed
 

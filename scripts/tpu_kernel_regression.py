@@ -552,22 +552,23 @@ def main():
                 ("merit", lambda: check_merit(model, X, U, goals, xs,
                                               results, n)),
             ]
-            if n <= 256:
-                # the fused BCR kernel's production envelope (sqp.py gates
-                # N=512 to the portable solve: refinement buffers exceed
-                # the 16 MB scoped VMEM there)
-                checks.insert(1, ("bcr_dz",
-                                  lambda: check_bcr_dz(ls, sch, kkt,
-                                                       results, n)))
-                checks.insert(2, ("bcr_pcg_dz",
-                                  lambda: check_bcr_pcg_dz(ls, sch, kkt,
-                                                           lam, results, n)))
+            # the fused BCR path serves all swept N: one kernel through
+            # N=256, the split two-dispatch solve+refine form at N=512
+            # (bcr_kernel.bcr_dz_pallas_lanes)
+            checks.insert(1, ("bcr_dz",
+                              lambda: check_bcr_dz(ls, sch, kkt,
+                                                   results, n)))
+            checks.insert(2, ("bcr_pcg_dz",
+                              lambda: check_bcr_pcg_dz(ls, sch, kkt,
+                                                       lam, results, n)))
             if n <= 128 and (n & (n - 1)) == 0:
                 checks.append(
                     ("megakernel",
                      lambda: check_megakernel(model, X, U, lam, goals, xs,
                                               results, n)))
-            if n <= 128:
+            if n <= 128 or n % 128 == 0:
+                # pcg megakernels tile the per-knot stage in-kernel
+                # beyond 128 lanes (kkt_schur_kernel._perknot_tiled)
                 checks.append(
                     ("megakernel_pcg",
                      lambda: check_megakernel_pcg(model, X, U, lam, goals,
@@ -581,12 +582,21 @@ def main():
                     ("mat_bands",
                      lambda: check_mat_bands(model, X, U, lam, goals,
                                              xs, results, n)))
-            if n <= 64:
-                # arm-packed megakernel: B=2 arms fit the 128-lane tile
+            if n <= 128:
+                # arm-packed megakernel: B=2 arms fill one 128-lane tile
+                # through N=64; B=2/N=128 exercises the multi-tile packed
+                # path (256 lanes, per-knot stage tiled in-kernel)
                 checks.append(
                     ("packed_arms",
                      lambda: check_packed_arms(model, X, U, lam, goals,
                                                xs, results, n)))
+            if n == 32:
+                # 8 packed arms at N=32 = 256 lanes: the multi-tile packed
+                # width with the most arm segments per tile boundary
+                checks.append(
+                    ("packed_arms_b8",
+                     lambda: check_packed_arms(model, X, U, lam, goals,
+                                               xs, results, n, b_arms=8)))
             if n == 32:
                 checks.append(
                     ("envelope",

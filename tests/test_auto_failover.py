@@ -1,7 +1,9 @@
-"""linsys="auto": rho-bail-rate monitored failover from the tracking-grade
+"""linsys="auto": error-gated rho-bail failover from the tracking-grade
 pcg backend to the exact-dual bcr_pcg backend (the operational rule from the
 pair-1_0 diagnosis, RESULTS.md; no reference analogue -- the reference has a
 single compile-time LINSYS_SOLVE choice, include/common/settings.cuh:126-131).
+The latch requires BOTH the rho-bail EMA and the tracking-error EMA above
+threshold (round-4: bails alone also fire on healthy pairs).
 """
 import dataclasses
 
@@ -46,7 +48,8 @@ def test_auto_latches_onto_bcr_pcg(iiwa, fixtures_dir):
     update 0 with pcg and every later update with bcr_pcg."""
     xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
     cfg = SolverConfig.for_knots(N, sqp_max_iter=3,
-                                 failover_bail_rate=-1.0)
+                                 failover_bail_rate=-1.0,
+                                 failover_err_threshold_m=-1.0)
     out = simulate_mpc_scan(iiwa, cfg, *_scan_args(xu, ee), linsys="auto")
     fo = np.asarray(out["failed_over"])
     assert not fo[0] and fo[1:].all(), fo
@@ -89,10 +92,28 @@ def test_auto_host_loop(iiwa, fixtures_dir):
     threshold records the failover and keeps tracking."""
     xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
     cfg = SolverConfig.for_knots(N, sqp_max_iter=3,
-                                 failover_bail_rate=-1.0)
+                                 failover_bail_rate=-1.0,
+                                 failover_err_threshold_m=-1.0)
     rec = simulate_mpc(iiwa, cfg, xu, ee, pcg_exit_tol=1e-5,
                        warmup_iters=0, max_timesteps=3,
                        max_control_updates=8, linsys="auto")
     assert rec.failed_over and not rec.failed_over[0]
     assert all(rec.failed_over[1:])
     assert np.isfinite(rec.tracking_errors).all()
+
+
+def test_auto_error_gate_holds_pcg(iiwa, fixtures_dir):
+    """The round-4 error gate: with the bail threshold always tripped but
+    the error threshold unreachable (tracking error stays ~0.05 m at this
+    scale), auto must NEVER fail over -- bit-identical to pure pcg.  This
+    is the behavior that protects healthy pairs (0_0 etc.) from the
+    bail-only latch that degraded them in results/round4/tpu_all_pairs.json."""
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
+    cfg = SolverConfig.for_knots(N, sqp_max_iter=3,
+                                 failover_bail_rate=-1.0,
+                                 failover_err_threshold_m=1e9)
+    ref = simulate_mpc_scan(iiwa, cfg, *_scan_args(xu, ee), linsys="pcg")
+    out = simulate_mpc_scan(iiwa, cfg, *_scan_args(xu, ee), linsys="auto")
+    assert not np.asarray(out["failed_over"]).any()
+    np.testing.assert_array_equal(np.asarray(out["tracking_path"]),
+                                  np.asarray(ref["tracking_path"]))
