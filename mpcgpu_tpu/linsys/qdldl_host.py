@@ -121,6 +121,14 @@ class LDLSolver:
         Ap, Ai, Ax = _btd_upper_csc(
             np.asarray(lower), np.asarray(diag), np.asarray(upper)
         )
+        return self.solve_csc(Ap, Ai, Ax, b)
+
+    def solve_csc(self, Ap, Ai, Ax, b):
+        """Numeric factor + solve on a pre-assembled upper CSC pattern.
+
+        This is the part the reference's TIME_LINSYS brackets (the CSR
+        values are written on-GPU there, qdldl/sqp.cuh:44-48) -- exposed
+        separately so timing comparisons exclude the host assembly."""
         x = np.asarray(b, np.float32).reshape(-1).copy()
         if self.lib is None:  # scipy fallback
             import scipy.sparse as sp

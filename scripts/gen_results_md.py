@@ -54,8 +54,18 @@ def main():
     kr = (load("results/round3/kernel_regression_tpu.json")
           or load("results/kernel_regression_tpu.json"))
     ap = load("results/round2/all_pairs_oracle.json")
+    tap4 = load("results/round4/tpu_all_pairs.json")
     tap3 = load("results/round3/tpu_all_pairs.json")
-    tap = tap3 or load("results/round2/tpu_all_pairs.json")
+    tap = tap4 or tap3 or load("results/round2/tpu_all_pairs.json")
+    pa = load("results/round4/precond_ablation_tpu.json")
+    # the n32/n64 rerun supersedes the first pass (its n32 row was
+    # inflated by a concurrent TPU job; rerun on an idle chip)
+    pa_rr = load("results/round4/precond_ablation_tpu_n3264_rerun.json")
+    if pa and pa_rr:
+        pa["rows"].update(pa_rr.get("rows", {}))
+    lc = load("results/round4/linsys_compare_tpu.json")
+    if lc and "CPU" in str(lc.get("device", "")):
+        lc = None  # CPU smoke artifact; only render the hardware run
 
     L = []
     L.append("# Results (generated -- do not hand-edit)\n")
@@ -205,6 +215,66 @@ def main():
                                      if a not in ("ok", "error"))[:160])
         L.append("")
 
+    if pa:
+        L.append("## Preconditioner ablation on TPU (results/round4/"
+                 "precond_ablation_tpu.json; n32/n64 from the idle-chip "
+                 "rerun ..._n3264_rerun.json)\n")
+        L.append("The reference fork's defining experiment "
+                 "(ENABLE_PRECONDITIONING, reference include/pcg/"
+                 "linsys_setup_no_precond.cuh; experiments/01_precond_"
+                 "then_long_running.py): the same closed loop with the "
+                 "symmetric-stair preconditioner on vs off (off: cap "
+                 "1000, same exit tolerance per N).  Fused stage "
+                 "kernels, megakernel off both arms; pipelined-slope "
+                 "device timing.\n")
+        L.append("| N | precond | us/update | vs 2 ms budget | avg err (m) "
+                 "| CG iters/solve | cap-hit rate |")
+        L.append("|---|---|---|---|---|---|---|")
+        for key in sorted(pa.get("rows", {}),
+                          key=lambda k: (int(k.split("_")[0][1:]),
+                                         "no" in k)):
+            r = pa["rows"][key]
+            if "error" in r:
+                L.append(f"| {key} | | ERROR | | | | |")
+                continue
+            n_ = key.split("_")[0][1:]
+            us = r["us_per_update"]
+            L.append(f"| {n_} | {'on' if r['preconditioned'] else 'OFF'} | "
+                     f"{us} | {2000.0 / us:.2f}x | "
+                     f"{r['avg_tracking_error_m']} | "
+                     f"{r['avg_pcg_iters_per_solve']} | "
+                     f"{r['pcg_cap_hit_rate']} |")
+        L.append("")
+        L.append("The stair preconditioner is worth 4.5-12.7x in update "
+                 "latency: without it CG needs 800-1000 iterations/solve "
+                 "(vs 16-38 tuned) and every horizon blows the 2 ms "
+                 "budget (2.3-3.7 ms/update), while with it every "
+                 "horizon sits 2.5-8.1x inside.  Unpreconditioned "
+                 "tracking error is slightly LOWER (0.012-0.029 m vs "
+                 "0.026-0.031) -- near-exact duals, consistent with the "
+                 "round-3 exact-dual analysis: the error gap is step "
+                 "damping, not solver quality.  This reproduces the "
+                 "reference fork's conclusion on TPU: preconditioning "
+                 "is what makes real-time rates reachable.\n")
+
+    if lc:
+        L.append("## Linear-solver time comparison on TPU "
+                 "(results/round4/linsys_compare_tpu.json)\n")
+        L.append(f"{lc.get('protocol', '')}  Reference: "
+                 f"{lc.get('reference', '')}\n")
+        L.append("| N | solver | mean us/solve | p50 | p95 | max |")
+        L.append("|---|---|---|---|---|---|")
+        for nk in sorted(lc.get("rows", {}),
+                         key=lambda k: int(k[1:])):
+            row = lc["rows"][nk]
+            for sk, st in row.items():
+                if not (isinstance(st, dict) and "mean_us" in st):
+                    continue
+                L.append(f"| {nk[1:]} | {sk} | {st['mean_us']} | "
+                         f"{st['p50_us']} | {st['p95_us']} | "
+                         f"{st['max_us']} |")
+        L.append("")
+
     if ap:
         s = ap.get("summary", {})
         L.append("## All-pairs PCG vs QDLDL oracle (CPU, truncated "
@@ -221,10 +291,20 @@ def main():
         L.append("")
 
     if tap:
-        src = ("results/round3/tpu_all_pairs.json" if tap3
+        src = ("results/round4/tpu_all_pairs.json" if tap4 else
+               "results/round3/tpu_all_pairs.json" if tap3
                else "results/round2/tpu_all_pairs.json")
         L.append(f"## All-pairs full-trajectory tracking on TPU ({src})\n")
-        if tap3:
+        if tap4:
+            L.append("Flagship config: whole-solve megakernel engaged on "
+                     "both pcg and bcr columns (megakernel_solve="
+                     f"{tap4.get('megakernel_solve')}), one compiled "
+                     "program for all pairs (padded fixtures + traced "
+                     "traj_len); pipelined-slope timing excludes compile "
+                     "AND the tunnel dispatch constant.  `auto` = "
+                     "error-gated rho-bail failover pcg->bcr_pcg "
+                     "(linsys=\"auto\"), no hand-selection.\n")
+        elif tap3:
             L.append("Timing protocol: one compiled program for all pairs "
                      "(padded fixtures + traced traj_len), warm pass then "
                      "timed pass -- compile time excluded.\n")
@@ -234,15 +314,78 @@ def main():
                      "wall clock); only the error columns are valid. "
                      "Superseded once results/round3/tpu_all_pairs.json "
                      "exists.\n")
-        L.append("| pair | pcg err (m) | bcr err (m) | pcg us/upd | "
-                 "bcr us/upd |")
-        L.append("|---|---|---|---|---|")
+        has_auto = tap4 and any("auto" in r for r in
+                                tap.get("rows", {}).values())
+        if has_auto:
+            L.append("| pair | pcg err (m) | bcr err (m) | auto err (m) | "
+                     "pcg us/upd | bcr us/upd | auto us/upd | failover |")
+            L.append("|---|---|---|---|---|---|---|---|")
+        else:
+            L.append("| pair | pcg err (m) | bcr err (m) | pcg us/upd | "
+                     "bcr us/upd |")
+            L.append("|---|---|---|---|---|")
         for key, row in tap.get("rows", {}).items():
             p, b = row.get("pcg", {}), row.get("bcr", {})
-            L.append(f"| {key} | {p.get('avg_tracking_error_m')} | "
-                     f"{b.get('avg_tracking_error_m')} | "
-                     f"{p.get('us_per_update')} | {b.get('us_per_update')} |")
+            if has_auto:
+                a = row.get("auto", {})
+                L.append(f"| {key} | {p.get('avg_tracking_error_m')} | "
+                         f"{b.get('avg_tracking_error_m')} | "
+                         f"{a.get('avg_tracking_error_m')} | "
+                         f"{p.get('us_per_update')} | "
+                         f"{b.get('us_per_update')} | "
+                         f"{a.get('us_per_update')} | "
+                         f"{a.get('failover_rate')} |")
+            else:
+                L.append(f"| {key} | {p.get('avg_tracking_error_m')} | "
+                         f"{b.get('avg_tracking_error_m')} | "
+                         f"{p.get('us_per_update')} | "
+                         f"{b.get('us_per_update')} |")
         L.append("")
+
+    L.append("## Roofline / utilization (round 4 -- where the headroom is)\n")
+    L.append(
+        "Shapes: nq=7, state s=14, nu=7, f32.  The KKT blocks are 14x14 "
+        "-- far too small for the 128x128 MXU (1.2% occupancy per "
+        "op), so the whole solver is formulated as knot-lane-batched "
+        "VPU work (ops/pallas/lanedyn.py): operands are (rows, N) tiles "
+        "with the horizon on the 128-wide lane axis.  v5e peaks used "
+        "below: VPU ~7.7 f32 TFLOP/s (8x128 vregs x 4 ALUs x ~0.94 GHz, "
+        "FMA=2 flops), HBM ~819 GB/s, MXU 197 bf16 TFLOP/s (unused -- "
+        "no large matmuls exist in this problem).")
+    L.append(
+        "- **Per CG iteration** (fused PCG kernel): SpMV (3 block bands, "
+        "3*14*14*N MACs) + stair-preconditioner apply (3 bands) + 2 "
+        "dots + ~4 axpys = ~161 kflop at N=64, ~1.29 Mflop at N=512.  "
+        "Measured marginal (pcg_cost/stage microbench): 0.83 us/iter at "
+        "N=64 = ~0.19 TFLOP/s (2.5% of VPU peak); 0.53 us/iter at "
+        "N=512 = ~2.4 TFLOP/s (**~32% of VPU peak**).  The N=64 gap is "
+        "structural lane underfill -- a (14,64) operand occupies 43.75% "
+        "of one (8,128)x2 vreg pair, and each band matvec issues 14 "
+        "row-FMA instructions whose operands are 2 vregs regardless of "
+        "N -- plus the CG dependency chain and cross-lane reduction "
+        "latency.  Instruction-issue floor at N=64 (~200 vreg-FMA "
+        "issues/iter, single ALU) is ~0.21 us/iter: the kernel sits "
+        "within ~4x of the issue floor, and the flop roofline is "
+        "irrelevant at this width.")
+    L.append(
+        "- **Per update** (flagship N=64, 4 SQP iters): total flop "
+        "content ~35 Mflop (147 CG iters ~24 Mflop + linearization "
+        "~5 Mflop + line search ~4 Mflop + rollout/glue) -> pure-flop "
+        "floor ~4.5 us vs 267 us measured (~1.7%).  Working set < 2 MB "
+        "(VMEM-resident whole solve) -> HBM floor ~2.5 us/dispatch, "
+        "also not binding.  The update is ISSUE/LATENCY-bound: a 14-DOF "
+        "64-knot problem simply cannot fill a v5e TensorCore.")
+    L.append(
+        "- **Consequence (measured, not speculative)**: headroom is "
+        "bought by filling lanes, not by faster single-solve kernels -- "
+        "arm packing fills the lane axis (B=2/N=64: 254 us for TWO "
+        "arms, i.e. the second arm is ~free; 23.5k updates/s/chip at "
+        "B=8) and fleet sharding multiplies chips.  At N=512, where "
+        "lanes are full, the CG loop already runs at ~1/3 of VPU peak "
+        "-- within ~3x of this op-mix's speed of light; the remaining "
+        "N=512 cost is the staged stage-kernel dispatches, addressed "
+        "round 4 by the multi-tile whole-solve megakernel.")
+    L.append("")
 
     L.append("## Analysis (round 3 -- supersedes the round-2 reading)\n")
     L.append(

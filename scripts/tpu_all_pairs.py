@@ -94,6 +94,12 @@ def main():
                "rows": {}}
     out = REPO / "results" / args.out_dir / "tpu_all_pairs.json"
     out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists() and set(args.linsys) < {"pcg", "bcr", "auto"}:
+        # partial (column-subset) rerun: merge into the existing archive
+        # instead of clobbering the other solvers' columns
+        prev = json.loads(out.read_text())
+        results["rows"] = prev.get("rows", {})
+        results["megakernel"] = {**prev.get("megakernel", {}), **engagement}
 
     # ---- load everything first; pad to ONE static trajectory shape
     loaded = {}
@@ -116,7 +122,7 @@ def main():
         X = jnp.asarray(X); U = jnp.asarray(U)
         xu_j = jnp.asarray(pad(xu)); ee_j = jnp.asarray(pad(ee))
         tlen = jnp.asarray(true_len, jnp.int32)
-        row = {}
+        row = dict(results["rows"].get(f"{start}_{goal}", {}))
         for linsys in args.linsys:
             # the auto monitor starts on pcg (sim.py body_auto); warm the
             # duals with the same backend it starts on

@@ -31,7 +31,7 @@ import numpy as np  # noqa: E402
 
 
 def run_config(n: int, linsys: str, n_updates: int, pcg_max_iter=None,
-               tuned_caps=False):
+               tuned_caps=False, megakernel=False):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +44,8 @@ def run_config(n: int, linsys: str, n_updates: int, pcg_max_iter=None,
     fixtures = REPO / "tests" / "fixtures"
     xu, ee = load_fixture_pair(fixtures, 0, 0)
     cfg = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=4),
-                              pallas_stages=True)
+                              pallas_stages=True, megakernel=megakernel,
+                              megakernel_solve=megakernel)
     if tuned_caps and pcg_max_iter is None and linsys == "pcg":
         from mpcgpu_tpu.config import PCGConfig
 
@@ -111,6 +112,10 @@ def main():
     ap.add_argument("--pcg-max-iter", type=int, default=None)
     ap.add_argument("--tuned-caps", action="store_true",
                     help="use PCGConfig.tpu_tuned_max_iter(n) per horizon")
+    ap.add_argument("--megakernel", action="store_true",
+                    help="flagship config: whole-solve megakernel "
+                    "(engages per sqp.megakernel_engages; round 4 "
+                    "covers N % 128 == 0 beyond 128 for pcg)")
     ap.add_argument("--out-name", default="horizon_scaling.json")
     ap.add_argument("--out-dir", default="round3")
     args = ap.parse_args()
@@ -128,7 +133,8 @@ def main():
             t0 = time.time()
             try:
                 row = run_config(n, linsys, args.updates,
-                                 args.pcg_max_iter, args.tuned_caps)
+                                 args.pcg_max_iter, args.tuned_caps,
+                                 args.megakernel)
             except Exception as e:  # archive the failure, keep sweeping
                 row = {"error": repr(e)[:300]}
             results["rows"][key] = row

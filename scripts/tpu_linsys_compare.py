@@ -218,17 +218,18 @@ def bench_n(n: int, n_updates: int, stride: int, scan_iters: int):
         lower_k, diag_k, upper_k = l2k(ls.SL), l2k(ls.SD), l2k(ls.SU)
         gam_np = np.asarray(ls.gamma).T
         solver = _cached_solver(n, 14)
-        reps = 5
+        reps = 20
         t0 = time.perf_counter()
         for _ in range(reps):
-            _btd_upper_csc(lower_k, diag_k, upper_k)
+            Ap, Ai, Ax = _btd_upper_csc(lower_k, diag_k, upper_k)
         t_asm = (time.perf_counter() - t0) * 1e6 / reps
+        solver.solve_csc(Ap, Ai, Ax, gam_np)  # symbolic once, like reference
         t0 = time.perf_counter()
         for _ in range(reps):
-            sol = solver.solve(lower_k, diag_k, upper_k, gam_np)
-        t_full = (time.perf_counter() - t0) * 1e6 / reps
+            sol = solver.solve_csc(Ap, Ai, Ax, gam_np)
+        t_fs = (time.perf_counter() - t0) * 1e6 / reps
         per["qdldl_assembly_host"].append(t_asm)
-        per["qdldl_factor_solve"].append(max(t_full - t_asm, 0.0))
+        per["qdldl_factor_solve"].append(t_fs)
         if si == 0:
             # correctness cross-check vs the fused pcg duals
             lam_pcg, *_ = jax.jit(
@@ -276,7 +277,7 @@ def main():
                     default=[32, 64, 128, 256, 512])
     ap.add_argument("--updates", type=int, default=48)
     ap.add_argument("--stride", type=int, default=3)
-    ap.add_argument("--scan-iters", type=int, default=32)
+    ap.add_argument("--scan-iters", type=int, default=128)
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (env vars are too late in this "
                     "image, CLAUDE.md)")

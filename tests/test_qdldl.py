@@ -66,3 +66,17 @@ def test_qdldl_as_sqp_backend(iiwa, traj_0_0):
     np.testing.assert_allclose(
         np.asarray(r_q.X), np.asarray(r_d.X), rtol=1e-2, atol=1e-3
     )
+
+
+def test_solve_csc_matches_solve():
+    """solve_csc (pre-assembled pattern; what the linsys-time comparison
+    brackets, reference TIME_LINSYS semantics) must equal the assembling
+    solve()."""
+    n, s = 6, 5
+    lower, diag, upper = _random_btd_spd(n, s, seed=3)
+    b = np.random.default_rng(4).normal(size=(n, s)).astype(np.float32)
+    solver = qh.LDLSolver(n, s)
+    want = solver.solve(lower, diag, upper, b)
+    Ap, Ai, Ax = qh._btd_upper_csc(lower, diag, upper)
+    got = qh.LDLSolver(n, s).solve_csc(Ap, Ai, Ax, b)
+    np.testing.assert_array_equal(got, want)
