@@ -207,19 +207,61 @@ def _bcr_pcg_dz_kernel(s: int, nu: int, max_iter_ref, tol_ref,
     du_out_ref[:] = -ld.lane_matvec(rinv_ref[:], rg_ref[:] + Bt_lam)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "split"))
 def bcr_pcg_dz_pallas_lanes(ls, lam0_l, max_iter, exit_tol,
-                            interpret: bool = None):
+                            interpret: bool = None, split: bool = None):
     """Warm-started BCR-preconditioned CG + primal recovery, one kernel.
 
     Drop-in for pcg_dz_pallas_lanes; needs no stair preconditioner (ls
     may be formed with precond=False).  Returns
-    (lam (s,N), dX (N,s), dU (N-1,nu), iters, hit_max)."""
+    (lam (s,N), dX (N,s), dU (N-1,nu), iters, hit_max).
+
+    N <= 256 runs the whole hybrid (CG loop + BCR preconditioner applies
+    + dz) in ONE kernel; beyond that the in-kernel refinement/CG buffers
+    exceed the ~16 MB scoped VMEM (19.67M at N=512, kernel regression
+    round 4), so the CG loop becomes XLA glue with each z = M^-1 r apply
+    dispatched as the solve-only BCR kernel -- same split strategy as
+    bcr_dz_pallas_lanes.  `split` forces the choice (tests exercise the
+    split path at small N against the single-kernel path).
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     s, n = ls.gamma.shape
     nu = ls.Rinv.shape[0]
     f32 = ls.gamma.dtype
+    if split is None:
+        split = n > 256
+    if split:
+        from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import compute_dz_lanes
+
+        def solve(rhs):
+            return bcr_solve_pallas_lanes(ls.SL, ls.SD, ls.SU, rhs,
+                                          interpret=interpret)
+
+        tol = jnp.asarray(exit_tol, f32)
+        r0 = ls.gamma - _band_spmv_xla(ls.SL, ls.SD, ls.SU, lam0_l)
+        z0 = solve(r0)
+        eta0 = jnp.sum(r0 * z0)
+
+        def cond(carry):
+            _, _, _, eta, i = carry
+            return jnp.logical_and(i < max_iter, jnp.abs(eta) > tol)
+
+        def body(carry):
+            lam, r, p, eta, i = carry
+            up = _band_spmv_xla(ls.SL, ls.SD, ls.SU, p)
+            alpha = eta / jnp.sum(p * up)
+            lam = lam + alpha * p
+            r = r - alpha * up
+            z = solve(r)
+            eta_new = jnp.sum(r * z)
+            p = z + (eta_new / eta) * p
+            return lam, r, p, eta_new, i + 1
+
+        lam_t, _, _, eta, iters = jax.lax.while_loop(
+            cond, body, (lam0_l, r0, z0, eta0, jnp.int32(0)))
+        dX, dU = compute_dz_lanes(ls, lam_t)
+        return lam_t, dX, dU, iters, jnp.abs(eta) > tol
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     lam_t, dx_t, du_t, iters, hit = pl.pallas_call(

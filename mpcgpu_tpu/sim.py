@@ -609,7 +609,10 @@ def simulate_mpc_scan_packed(model: RobotModel, cfg: SolverConfig, xu_traj,
     (results/round3/batched_throughput.json): one v5e chip is one
     TensorCore, so on-chip multi-arm throughput is lane fill -- at N=64 a
     single arm uses 64 of 128 lanes; B=2 packs two arms into the idle
-    half and runs both for ~the price of one.  B*N <= 128.
+    half and runs both for ~the price of one.  B*N <= 128 runs
+    single-tile; any B*N that is a multiple of 128 engages the
+    multi-tile packed megakernel (round 4: per-knot stages tile
+    in-kernel over 128-lane slices).
 
     All arms track the same recorded trajectory from independently
     perturbed start states (same instance construction as

@@ -312,29 +312,15 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
             elif linsys == "bcr_pcg":
                 # warm-started CG with the BCR solve as preconditioner
                 # (backward-stable unlike plain bcr; a handful of
-                # iterations instead of the stair preconditioner's ~130)
-                if cfg.knot_points <= 256:
-                    from mpcgpu_tpu.ops.pallas.bcr_kernel import (
-                        bcr_pcg_dz_pallas_lanes)
+                # iterations instead of the stair preconditioner's ~130).
+                # One kernel through N=256; N=512 splits internally into
+                # solve-only kernel dispatches per M-apply with the CG
+                # loop as XLA glue (VMEM envelope, see bcr_kernel.py).
+                from mpcgpu_tpu.ops.pallas.bcr_kernel import (
+                    bcr_pcg_dz_pallas_lanes)
 
-                    lam_l, dX, dU, pcg_it, hit_max = bcr_pcg_dz_pallas_lanes(
-                        ls, st.lam.T, cfg.pcg.max_iter, pcg_exit_tol)
-                else:
-                    import types
-
-                    from mpcgpu_tpu.ops.btridiag import BlockTri
-                    from mpcgpu_tpu.ops.btsolve import _solve_linsys_bcr_pcg
-                    from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import (
-                        compute_dz_lanes)
-
-                    l2k = lambda a: jnp.transpose(a, (2, 0, 1))
-                    shim = types.SimpleNamespace(
-                        S=BlockTri(l2k(ls.SL), l2k(ls.SD), l2k(ls.SU)),
-                        gamma=ls.gamma.T)
-                    lam_k, pcg_it, hit_max = _solve_linsys_bcr_pcg(
-                        cfg, shim, st.lam, pcg_exit_tol)
-                    lam_l = lam_k.T
-                    dX, dU = compute_dz_lanes(ls, lam_l)
+                lam_l, dX, dU, pcg_it, hit_max = bcr_pcg_dz_pallas_lanes(
+                    ls, st.lam.T, cfg.pcg.max_iter, pcg_exit_tol)
             else:
                 lam_l, dX, dU, pcg_it, hit_max = pcg_dz_pallas_lanes(
                     ls, st.lam.T, cfg.pcg.max_iter, pcg_exit_tol,

@@ -51,8 +51,8 @@ def main():
     pc = load("results/round3/pcg_cost_n64.json")
     mb = (load("results/round3/stage_microbench_n64.json")
           or load("results/stage_microbench_n64.json"))
-    kr = (load("results/round3/kernel_regression_tpu.json")
-          or load("results/kernel_regression_tpu.json"))
+    kr = (load("results/kernel_regression_tpu.json")
+          or load("results/round3/kernel_regression_tpu.json"))
     ap = load("results/round2/all_pairs_oracle.json")
     tap4 = load("results/round4/tpu_all_pairs.json")
     tap3 = load("results/round3/tpu_all_pairs.json")
@@ -66,6 +66,13 @@ def main():
     lc = load("results/round4/linsys_compare_tpu.json")
     if lc and "CPU" in str(lc.get("device", "")):
         lc = None  # CPU smoke artifact; only render the hardware run
+    # round-4 long-horizon rerun: multi-tile whole-solve megakernel (pcg)
+    # + split BCR kernel (N=512) supersede the round-3 staged rows
+    hs4 = load("results/round4/horizon_scaling_megasolve.json")
+    if hs3 and hs4:
+        for key, row in hs4.get("rows", {}).items():
+            if "error" not in row:
+                hs3["rows"][key] = row
 
     L = []
     L.append("# Results (generated -- do not hand-edit)\n")
@@ -95,6 +102,10 @@ def main():
         if hs3stair:
             src3 += ("; N>=256 pcg rows from the stair-tile-kernel rerun "
                      "horizon_scaling_stairtile.json")
+        if hs4:
+            src3 += ("; round-4 rerun rows (multi-tile whole-solve "
+                     "megakernel for pcg at N>=256, split BCR kernel at "
+                     "N=512) from round4/horizon_scaling_megasolve.json")
         L.append("## Horizon scaling, TPU-tuned caps, honest protocol "
                  f"({src3})\n")
         L.append("Pipelined-dispatch slope timing (utils/benchtime.py): "

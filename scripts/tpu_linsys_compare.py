@@ -49,27 +49,32 @@ enable_persistent_cache()
 import numpy as np  # noqa: E402
 
 
-def device_time_us(fn, carry, iters=32):
-    """Device time per iteration of fn inside a lax.scan (CSE-defeated)."""
+def device_time_us(fn, carry, iters=32, repeats=5):
+    """Device time per iteration of fn inside a lax.scan (CSE-defeated).
+
+    Best-of-`repeats` on BOTH slope points: a single wall measurement over
+    the remote attachment jitters by ~1 ms, which at iters=128 is +-10 us
+    of noise per solve -- enough to drive ~5 us PCG solves negative (the
+    round-4 first-cut archive).  min() is the right location estimator for
+    one-sided dispatch noise; with it the slope is stable to ~1 us."""
     import jax
 
     @partial(jax.jit, static_argnames=("k",))
     def run(c, k):
         return jax.lax.scan(lambda c, _: (fn(c), None), c, None, length=k)[0]
 
-    out = run(carry, iters)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
-    t0 = time.perf_counter()
-    out = run(carry, iters)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
-    dt = (time.perf_counter() - t0) * 1e6
-    out1 = run(carry, 1)
-    np.asarray(jax.tree_util.tree_leaves(out1)[0])
-    t0 = time.perf_counter()
-    out1 = run(carry, 1)
-    np.asarray(jax.tree_util.tree_leaves(out1)[0])
-    dt1 = (time.perf_counter() - t0) * 1e6
-    return (dt - dt1) / max(iters - 1, 1)
+    def timed(k):
+        out = run(carry, k)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = run(carry, k)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e6
+
+    return (timed(iters) - timed(1)) / max(iters - 1, 1)
 
 
 def collect_snapshots(model, cfg, xu, ee, n_updates, stride):

@@ -74,6 +74,46 @@ def test_bcr_lane_kernel_matches_portable():
     np.testing.assert_allclose(dU, dU_ref, atol=2e-4, rtol=1e-3)
 
 
+def test_bcr_pcg_split_matches_single_kernel():
+    """The long-horizon split path (CG as XLA glue + solve-only BCR
+    kernel per M-apply, used at N > 256 where the single kernel exceeds
+    scoped VMEM) must match the single-kernel hybrid."""
+    from mpcgpu_tpu.ops.pallas.bcr_kernel import bcr_pcg_dz_pallas_lanes
+    from mpcgpu_tpu.ops.pallas.kkt_schur_kernel import LaneSchur
+
+    n = 16
+    kkt = random_kkt(seed=5, n=n)
+    sd = form_schur(kkt, RHO)
+    to_lane = lambda b: jnp.transpose(b, (1, 2, 0))
+    nu = kkt.R.shape[-1]
+    zeros_u = jnp.zeros((NX, NX, n), jnp.float32)
+    Rinv_pad = jnp.concatenate(
+        [to_lane(sd.Rinv), jnp.zeros((nu, nu, 1), jnp.float32)], axis=2)
+    A_pad = jnp.concatenate(
+        [to_lane(kkt.A), jnp.zeros((NX, NX, 1), jnp.float32)], axis=2)
+    B_pad = jnp.concatenate(
+        [to_lane(kkt.B), jnp.zeros((NX, nu, 1), jnp.float32)], axis=2)
+    r_pad = jnp.concatenate(
+        [kkt.r.T, jnp.zeros((nu, 1), jnp.float32)], axis=1)
+    ls = LaneSchur(
+        SL=to_lane(sd.S.lower), SD=to_lane(sd.S.diag), SU=to_lane(sd.S.upper),
+        PL=zeros_u * 0, PD=to_lane(sd.Qinv) * 0, PU=zeros_u * 0,
+        gamma=sd.gamma.T, Qinv=to_lane(sd.Qinv), Rinv=Rinv_pad,
+        A=A_pad, B=B_pad, q=kkt.q.T, r=r_pad,
+    )
+    lam0 = jnp.zeros((NX, n), jnp.float32)
+    one = bcr_pcg_dz_pallas_lanes(ls, lam0, 20, 1e-10, interpret=True,
+                                  split=False)
+    two = bcr_pcg_dz_pallas_lanes(ls, lam0, 20, 1e-10, interpret=True,
+                                  split=True)
+    scale = float(jnp.abs(one[0]).max())
+    np.testing.assert_allclose(np.asarray(two[0]) / scale,
+                               np.asarray(one[0]) / scale, atol=2e-5)
+    np.testing.assert_allclose(two[1], one[1], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(two[2], one[2], atol=2e-4, rtol=1e-3)
+    assert int(two[3]) == int(one[3])  # identical CG iteration counts
+
+
 def test_sqp_solve_bcr_backend(iiwa, traj_0_0):
     """End-to-end: bcr backend tracks the dense-oracle solve."""
     from mpcgpu_tpu.config import SolverConfig
