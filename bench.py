@@ -15,8 +15,9 @@ Default configuration: the whole-solve PCG megakernel (every SQP
 iteration of an update in ONE Pallas dispatch, lead-layout CG) at the
 TPU-retuned iteration cap -- hardware bit-exact vs the staged stage-
 kernel path (results/round3/megasolve_check.json) and ~17 us/update
-faster; outside its N <= 128 envelope the solver falls back to the
-staged fused kernels automatically.  --linsys bcr /
+faster; round 4 tiles the per-knot stages in-kernel so it engages at
+any N <= 128 or N % 128 == 0 (hardware bit-exact at N=256/512), with
+automatic fallback to the staged fused kernels elsewhere.  --linsys bcr /
 bcr_pcg select the exact cyclic-reduction solve and its CG hybrid
 (faster per update, but f32 CR is not backward stable on these
 cond~1e7 systems and slowly biases long closed-loop runs; see
@@ -53,12 +54,13 @@ def main() -> int:
     ap.add_argument("--mega-solve", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="whole-solve megakernel: all SQP iterations in one "
-                    "Pallas dispatch (the flagship at N <= 128: 267 vs "
-                    "284 us/update staged, hardware bit-exact -- "
+                    "Pallas dispatch (the flagship: 267 vs 284 us/update "
+                    "staged at N=64, hardware bit-exact -- "
                     "results/round3/bench_megasolve.json; use "
                     "--no-mega-solve for the staged stage-kernel path). "
-                    "Automatically disengages outside the megakernel "
-                    "envelope (N > 128 or non-pcg linsys).")
+                    "Engages at N <= 128 or N % 128 == 0 for pcg "
+                    "(sqp.megakernel_engages); automatic staged fallback "
+                    "elsewhere.")
     ap.add_argument("--sqp-max-iter", type=int, default=4)
     ap.add_argument("--batch", type=int, default=1,
                     help="throughput mode: track B independent arms "
@@ -67,8 +69,9 @@ def main() -> int:
     ap.add_argument("--packed", action="store_true",
                     help="with --batch: pack the B arms into one lane "
                     "batch solved by the arm-packed whole-solve "
-                    "megakernel (B*N <= 128) instead of vmapping the "
-                    "portable path")
+                    "megakernel (B*N <= 128 single-tile, or any "
+                    "multiple of 128 multi-tile) instead of vmapping "
+                    "the portable path")
     ap.add_argument("--mat-bands", action="store_true",
                     help="canonical-layout band copies before the "
                     "megakernels' in-kernel CG loop (bit-identical; "
