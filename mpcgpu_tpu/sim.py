@@ -618,8 +618,9 @@ def simulate_mpc_scan_packed(model: RobotModel, cfg: SolverConfig, xu_traj,
     perturbed start states (same instance construction as
     simulate_mpc_scan_batched); the shift schedule, goals, and refill
     source are shared, while xs/X/U/lam/rho evolve per arm.  Plant
-    rollout and horizon shift run vmapped outside the kernel (portable
-    path -- per-arm cost is small against the packed solve).
+    rollout runs as B unrolled fused rollout-kernel calls (the round-3
+    glue fix -- vmapping the portable rollout cost ~350 us/update);
+    the horizon shift is vmapped XLA glue (cheap).
 
     Returns per-update stats with a leading (B,) axis for tracking
     errors and per-arm SQP iterations.
