@@ -279,3 +279,38 @@ def test_packed_arms_sharded_matches_unsharded_groups(iiwa, traj_0_0):
             np.asarray(ref["final_xs"]), rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(
             np.asarray(out["sqp_iters"][sl]), np.asarray(ref["sqp_iters"]))
+
+
+def test_knot_sharded_closed_loop_matches_single_device(mesh, iiwa,
+                                                        traj_0_0):
+    """The device-resident CLOSED LOOP (solve -> rollout -> shift ->
+    re-injection, sim.simulate_mpc_scan) with the knot axis sharded must
+    match the single-device loop -- shift/refill/re-injection run under
+    GSPMD sharding (round-4 VERDICT item 6; the MPC loop the reference
+    scales, reference include/mpcsim.cuh:286-451).  The at-scale (N=512)
+    version of this check is the dryrun_multichip sharded-loop leg."""
+    import dataclasses
+
+    from mpcgpu_tpu.config import PCGConfig, SolverConfig
+    from mpcgpu_tpu.parallel.sharded import simulate_mpc_scan_sharded
+    from mpcgpu_tpu.sim import simulate_mpc_scan
+
+    xu, ee = traj_0_0
+    n, n_updates = N_SHARD, 3
+    cfg = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=2),
+                              pcg=PCGConfig(max_iter=10))
+    xu_j = jnp.asarray(xu); ee_j = jnp.asarray(ee)
+    X = jnp.asarray(xu[:n, :14]); U = jnp.asarray(xu[:n - 1, 14:])
+    lam = jnp.zeros((n, 14), jnp.float32)
+    rho = jnp.float32(1e-3)
+
+    out_sh = simulate_mpc_scan_sharded(iiwa, cfg, mesh, xu_j, ee_j, X, U,
+                                       lam, rho, 1e-5, n_updates)
+    ref = simulate_mpc_scan(iiwa, cfg, xu_j, ee_j, X, U, lam, rho, 1e-5,
+                            n_updates)
+    np.testing.assert_allclose(np.asarray(out_sh["final_xs"]),
+                               np.asarray(ref["final_xs"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_sh["tracking_errors"]),
+                               np.asarray(ref["tracking_errors"]),
+                               rtol=2e-3, atol=2e-4)
