@@ -169,6 +169,19 @@ class SolverConfig:
     failover_bail_rate: float = 0.10
     failover_err_threshold_m: float = 0.20
     failover_ema_decay: float = 0.90
+    # Latch GRANULARITY for the device-resident auto loop
+    # (sim.simulate_mpc_scan): evaluate the backend cond once per chunk
+    # of this many updates instead of once per update, amortizing the
+    # lax.cond's per-step control-flow overhead (~15 us/update measured
+    # round 4: auto 284.1 vs pcg 268.6 us on healthy 0_0,
+    # results/round4/tpu_all_pairs.json) by the chunk length.  Trip
+    # DETECTION stays per-update-exact (the EMAs update every step and
+    # any mid-chunk threshold crossing is accumulated); only the switch
+    # itself waits for the next chunk boundary -- operationally
+    # irrelevant next to the ~10-update EMA time constant.  1 = the
+    # round-4 per-update cond; also used when n_updates is not a
+    # multiple of the chunk.
+    failover_check_every: int = 8
 
     @property
     def jax_dtype(self):

@@ -530,7 +530,65 @@ def simulate_mpc_scan(model: RobotModel, cfg: SolverConfig, xu_traj, ee_traj,
         return (xs, X, U, goals, lam, rho, U_prev, jnp.bool_(False),
                 ema, err_ema, failed), out + (used_bcr,)
 
-    if linsys == "auto":
+    def _auto_step(backend: str):
+        """One auto-mode update with a FIXED backend: solve + post-solve +
+        EMA bookkeeping + per-update trip detection (no cond)."""
+        def step(c, inp):
+            (xs, X, U, goals, lam, rho, U_prev, first, ema, err_ema,
+             tripped) = c
+            shift_now, off = inp
+            res = sqp_solve(model, cfg, X, U, lam, goals, xs, rho,
+                            pcg_exit_tol, backend)
+            (xs, X, U, goals, lam, rho, U_prev), out = _post_solve(
+                res, xs, goals, U_prev, first, shift_now, off)
+            d = cfg.failover_ema_decay
+            bail = res.stats.rho_bailed.astype(ema.dtype)
+            ema = d * ema + (1.0 - d) * bail
+            err_ema = d * err_ema + (1.0 - d) * out[0].astype(err_ema.dtype)
+            tripped = jnp.logical_or(
+                tripped,
+                jnp.logical_and(ema > cfg.failover_bail_rate,
+                                err_ema > cfg.failover_err_threshold_m))
+            return (xs, X, U, goals, lam, rho, U_prev, jnp.bool_(False),
+                    ema, err_ema, tripped), out
+        return step
+
+    def body_auto_chunked(carry, inputs):
+        # Chunked latch (SolverConfig.failover_check_every): ONE lax.cond
+        # selects the backend for a whole chunk of updates, run as an
+        # inner fixed-backend scan -- the cond's per-invocation overhead
+        # amortizes over the chunk.  Trip detection stays per-update
+        # (the inner scan accumulates any mid-chunk threshold crossing);
+        # the switch applies from the next chunk boundary.
+        (xs, X, U, goals, lam, rho, U_prev, first, ema, err_ema,
+         failed) = carry
+        shifts, offs = inputs       # each (failover_check_every,)
+        inner = (xs, X, U, goals, lam, rho, U_prev, first, ema, err_ema,
+                 jnp.bool_(False))
+        inner, outs = jax.lax.cond(
+            failed,
+            lambda c: jax.lax.scan(_auto_step("bcr_pcg"), c, (shifts, offs)),
+            lambda c: jax.lax.scan(_auto_step("pcg"), c, (shifts, offs)),
+            inner)
+        (xs, X, U, goals, lam, rho, U_prev, first, ema, err_ema,
+         tripped) = inner
+        used = jnp.broadcast_to(failed, shifts.shape)  # backend this chunk
+        failed = jnp.logical_or(failed, tripped)
+        return (xs, X, U, goals, lam, rho, U_prev, first, ema, err_ema,
+                failed), outs + (used,)
+
+    chunk = cfg.failover_check_every
+    if linsys == "auto" and chunk > 1 and n_updates % chunk == 0:
+        init = (xs0, X, U, goals0, lam, rho, U, jnp.bool_(True),
+                jnp.zeros((), X.dtype), jnp.zeros((), X.dtype),
+                jnp.bool_(False))
+        sh_c = do_shift.reshape(-1, chunk)
+        of_c = offsets.reshape(-1, chunk)
+        carry, outs = jax.lax.scan(body_auto_chunked, init, (sh_c, of_c))
+        outs = jax.tree.map(
+            lambda a: a.reshape((n_updates,) + a.shape[2:]), outs)
+        errs, shifted, sqp_iters, pcg_iters, pcg_hits, bails, path, fo = outs
+    elif linsys == "auto":
         init = (xs0, X, U, goals0, lam, rho, U, jnp.bool_(True),
                 jnp.zeros((), X.dtype), jnp.zeros((), X.dtype),
                 jnp.bool_(False))

@@ -69,8 +69,20 @@ def main():
     # round-4 long-horizon rerun: multi-tile whole-solve megakernel (pcg)
     # + split BCR kernel (N=512) supersede the round-3 staged rows
     hs4 = load("results/round4/horizon_scaling_megasolve.json")
+    if hs4 and not hs3:
+        # round-3 archive missing: render the round-4 rows standalone
+        # rather than silently dropping them (ADVICE r4)
+        hs3 = {"rows": {}}
     if hs3 and hs4:
         for key, row in hs4.get("rows", {}).items():
+            if "error" not in row:
+                hs3["rows"][key] = row
+    # round-5 envelope-extension rows (N=2/4 and N=1024) supersede/extend
+    hs5 = load("results/round5/horizon_scaling_envelope.json")
+    if hs5:
+        if not hs3:
+            hs3 = {"rows": {}}
+        for key, row in hs5.get("rows", {}).items():
             if "error" not in row:
                 hs3["rows"][key] = row
 
@@ -138,8 +150,16 @@ def main():
         m = d_.get("metric", "")
         if "batched_throughput" not in m or not det.get("packed"):
             continue
-        n_b = m.split("_n", 1)[1]           # "64_b2"
-        n_, b_ = (int(x) for x in n_b.split("_b"))
+        # guard malformed archives: one bad file must not kill the
+        # whole report (ADVICE r4)
+        try:
+            n_b = m.split("_n", 1)[1]       # "64_b2"
+            n_, b_ = (int(x) for x in n_b.split("_b"))
+            float(d_["value"])
+        except (IndexError, KeyError, TypeError, ValueError):
+            print(f"WARN: skipping malformed packed archive {pth}",
+                  file=sys.stderr)
+            continue
         packed.append((b_ * n_, n_, b_, d_, det,
                        str(pth.relative_to(REPO))))
     if packed:
@@ -223,13 +243,20 @@ def main():
                  "(results/stage_microbench_n64.json)\n")
         L.append("| stage | us/iteration |")
         L.append("|---|---|")
+        # stages cheaper than the slope estimator's noise floor (~a few
+        # us over the tunnel) can difference negative; render those as
+        # sub-noise instead of publishing a negative microsecond
+        # (round-4 VERDICT weak #3)
+        fmt_us = lambda v: (f"{v}" if v >= 0
+                            else "<2 (sub-noise; slope differenced "
+                            "negative)")
         for k, v in mb.items():
             if isinstance(v, dict) and "us_per_iter" in v:
-                L.append(f"| {k} | {v['us_per_iter']} |")
+                L.append(f"| {k} | {fmt_us(v['us_per_iter'])} |")
         for k, v in mb.items():
             if isinstance(v, (int, float)) and k.startswith(
                     ("sqp_", "loop_", "pcg_us")):
-                L.append(f"| {k} | {v} |")
+                L.append(f"| {k} | {fmt_us(v)} |")
         L.append("")
 
     cs = load("results/round2/cap_sweep.json")
@@ -316,9 +343,14 @@ def main():
             for sk, st in row.items():
                 if not (isinstance(st, dict) and "mean_us" in st):
                     continue
-                L.append(f"| {nk[1:]} | {sk} | {st['mean_us']} | "
-                         f"{st['p50_us']} | {st['p95_us']} | "
-                         f"{st['max_us']} |")
+                cells = [st["mean_us"], st["p50_us"], st["p95_us"],
+                         st["max_us"]]
+                # per-snapshot slope estimates can jitter negative on a
+                # loaded chip (round-4 VERDICT weak #3): never publish
+                # a negative microsecond
+                cells = [c if c >= 0 else "<2 (sub-noise)" for c in cells]
+                L.append(f"| {nk[1:]} | {sk} | {cells[0]} | "
+                         f"{cells[1]} | {cells[2]} | {cells[3]} |")
         L.append("")
         # computed conclusion: the ICRA paper's PCG-vs-LDL' claim
         sp = []
@@ -552,6 +584,18 @@ def main():
         "N>=128 cap 24 keeps the tracking error identical to three "
         "decimals while cutting 11-21% of update latency.")
     L.append("")
+
+    # hard gate (round-4 VERDICT item 5): no table cell may carry a
+    # negative number -- negative microseconds are estimator noise and
+    # must be rendered as sub-noise markers upstream
+    import re
+
+    for line in L:
+        if not line.startswith("|"):
+            continue
+        for cell in line.split("|"):
+            assert not re.match(r"^\s*-\d", cell), (
+                f"negative value in RESULTS.md table cell: {line!r}")
 
     (REPO / "RESULTS.md").write_text("\n".join(L) + "\n")
     print(f"-> {REPO / 'RESULTS.md'}")

@@ -63,18 +63,28 @@ def device_time_us(fn, carry, iters=32, repeats=5):
     def run(c, k):
         return jax.lax.scan(lambda c, _: (fn(c), None), c, None, length=k)[0]
 
-    def timed(k):
+    def timed(k, reps):
         out = run(carry, k)
         np.asarray(jax.tree_util.tree_leaves(out)[0])
         best = float("inf")
-        for _ in range(repeats):
+        for _ in range(reps):
             t0 = time.perf_counter()
             out = run(carry, k)
             np.asarray(jax.tree_util.tree_leaves(out)[0])
             best = min(best, time.perf_counter() - t0)
         return best * 1e6
 
-    return (timed(iters) - timed(1)) / max(iters - 1, 1)
+    def slope(reps):
+        return (timed(iters, reps) - timed(1, reps)) / max(iters - 1, 1)
+
+    s = slope(repeats)
+    if s < 0:
+        # noise exceeded signal despite best-of-repeats (a loaded chip
+        # or an OS hiccup): retry harder, then clamp -- a negative
+        # device time must never reach an archive (round-4 VERDICT
+        # item 5)
+        s = slope(3 * repeats)
+    return max(s, 0.0)
 
 
 def collect_snapshots(model, cfg, xu, ee, n_updates, stride):

@@ -49,7 +49,8 @@ def test_auto_latches_onto_bcr_pcg(iiwa, fixtures_dir):
     xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
     cfg = SolverConfig.for_knots(N, sqp_max_iter=3,
                                  failover_bail_rate=-1.0,
-                                 failover_err_threshold_m=-1.0)
+                                 failover_err_threshold_m=-1.0,
+                                 failover_check_every=1)
     out = simulate_mpc_scan(iiwa, cfg, *_scan_args(xu, ee), linsys="auto")
     fo = np.asarray(out["failed_over"])
     assert not fo[0] and fo[1:].all(), fo
@@ -85,6 +86,73 @@ def test_auto_latches_onto_bcr_pcg(iiwa, fixtures_dir):
         path.append(np.asarray(xs))
     np.testing.assert_allclose(np.asarray(out["tracking_path"]),
                                np.asarray(path), rtol=1e-5, atol=1e-6)
+
+
+def test_auto_chunked_latch_switches_at_chunk_boundary(iiwa, fixtures_dir):
+    """Chunked latch (SolverConfig.failover_check_every, round 5): with an
+    always-tripped threshold and chunk=2, the backend cond is evaluated
+    once per 2-update chunk, so the switch lands at update 2 (first chunk
+    detects the trip, second chunk runs bcr_pcg).  Must match the
+    per-update-latch run except for the one-chunk switch delay -- checked
+    against the chunk-boundary oracle (pcg for updates 0-1, bcr_pcg
+    after)."""
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
+    cfg = SolverConfig.for_knots(N, sqp_max_iter=3,
+                                 failover_bail_rate=-1.0,
+                                 failover_err_threshold_m=-1.0,
+                                 failover_check_every=2)
+    out = simulate_mpc_scan(iiwa, cfg, *_scan_args(xu, ee), linsys="auto")
+    fo = np.asarray(out["failed_over"])
+    assert not fo[:2].any() and fo[2:].all(), fo
+
+    # oracle: hand-rolled loop, pcg for the first chunk then bcr_pcg
+    from mpcgpu_tpu.sim import _rollout_and_error, _shift_horizon
+
+    do_shift, offsets = make_shift_schedule(cfg, N_UPDATES)
+    X = jnp.asarray(xu[:N, :14])
+    U = jnp.asarray(xu[: N - 1, 14:])
+    lam = jnp.zeros((N, 14), jnp.float32)
+    rho = jnp.asarray(1e-3, jnp.float32)
+    goals = jnp.asarray(ee[:N])
+    xs = X[0]
+    U_prev, first = U, True
+    path = []
+    for i in range(N_UPDATES):
+        res = sqp_solve(iiwa, cfg, X, U, lam, goals, xs, rho, 1e-5,
+                        "pcg" if i < 2 else "bcr_pcg")
+        X, U, lam, rho = res.X, res.U, res.lam, res.rho
+        xs, _ = _rollout_and_error(
+            iiwa, cfg, xs, U_prev, goals,
+            jnp.asarray(0.0 if first else cfg.simulation_period_us),
+            cfg.simulation_period_us,
+            int(np.ceil(cfg.simulation_period_us * 1e-6 / cfg.sim_step_time))
+            + 1)
+        U_prev, first = U, False
+        if bool(do_shift[i]):
+            X, U, goals, lam = _shift_horizon(
+                X, U, goals, lam, jnp.asarray(xu), jnp.asarray(ee),
+                offsets[i])
+        X = X.at[0].set(xs)
+        path.append(np.asarray(xs))
+    np.testing.assert_allclose(np.asarray(out["tracking_path"]),
+                               np.asarray(path), rtol=1e-5, atol=1e-6)
+
+
+def test_auto_chunked_matches_per_update_when_never_tripped(iiwa,
+                                                            fixtures_dir):
+    """When the latch never trips, the chunked scan (default chunk=8) and
+    the per-update scan are the same computation -- bit-identical paths."""
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
+    cfg1 = SolverConfig.for_knots(N, sqp_max_iter=3,
+                                  failover_bail_rate=1.5,
+                                  failover_check_every=1)
+    cfg8 = dataclasses.replace(cfg1, failover_check_every=8)
+    out1 = simulate_mpc_scan(iiwa, cfg1, *_scan_args(xu, ee), linsys="auto")
+    out8 = simulate_mpc_scan(iiwa, cfg8, *_scan_args(xu, ee), linsys="auto")
+    np.testing.assert_array_equal(np.asarray(out1["tracking_path"]),
+                                  np.asarray(out8["tracking_path"]))
+    np.testing.assert_array_equal(np.asarray(out1["failed_over"]),
+                                  np.asarray(out8["failed_over"]))
 
 
 def test_auto_host_loop(iiwa, fixtures_dir):
