@@ -139,6 +139,8 @@ def run_expr(settings: Settings, name: str,
                 }
             if settings.sample_memory:
                 summary["peak_device_bytes"] = sampler.peak_bytes()
+                # per-process axis (reference run_mpcgpu.sh:64-96 pmon)
+                summary["peak_proc_rss_mb"] = sampler.peak_proc_rss_mb()
                 summary["memory_samples"] = len(sampler.samples)
             per_n[solver] = summary
             print(f"N={n} {solver}: "

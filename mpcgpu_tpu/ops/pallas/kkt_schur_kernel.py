@@ -89,16 +89,12 @@ def _perknot(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     qdd = ld.lane_matvec(Minv, U - bias)
 
     # 2*nq tangent pushes: dtau/d(q,qd) columns, composed to dqdd = -Minv dtau
-    # (hand-written forward mode -- see lanedyn.rnea_lane_jvp)
-    rows_q = jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0)
-    dqdd_cols = []
-    for j in range(2 * nq):
-        ej = (rows_q == (j % nq)).astype(dtype) * jnp.ones((1, n), dtype)
-        tq = ej * (1.0 if j < nq else 0.0)
-        tqd = ej * (0.0 if j < nq else 1.0)
-        _, dtau_j = ld.rnea_lane_jvp(x_tab, I_tab, q, qd, qdd, tq, tqd,
-                                     gravity)
-        dqdd_cols.append(-ld.lane_matvec(Minv, dtau_j))     # (nq, N)
+    # (shared-primal unit-direction forward mode -- see
+    # lanedyn.rnea_lane_dtau_units; round-5 replacement of 2*nq generic
+    # rnea_lane_jvp calls, ~3x fewer vreg ops, same math)
+    dtau_cols = ld.rnea_lane_dtau_units(x_tab, I_tab, q, qd, qdd, gravity)
+    dqdd_cols = [-ld.lane_matvec(Minv, dtau_j)              # (nq, N)
+                 for dtau_j in dtau_cols]
     dfdq = jnp.stack(dqdd_cols[:nq], axis=1)                # (nq, nq, N)
     dfdqd = jnp.stack(dqdd_cols[nq:], axis=1)
 

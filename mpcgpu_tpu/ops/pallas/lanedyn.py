@@ -451,6 +451,107 @@ def fk_ee_and_jac(h_tables, dh_tables, q):
     return prefix[nj][:3, 3, :], jnp.stack(cols, axis=1)  # (3,B), (3,nj,B)
 
 
+def rnea_lane_dtau_units(x_tables, I_tables, q, qd, qdd,
+                         gravity: float = 0.0):
+    """dtau columns for ALL 2*nj unit tangent directions at once:
+    returns [dtau/dq_0 .. dtau/dq_{nj-1}, dtau/dqd_0 .. dtau/dqd_{nj-1}],
+    each (nj, B).
+
+    The round-5 optimization of the KKT stage's dominant cost: the
+    previous path called rnea_lane_jvp once per direction, which (a)
+    recomputed the full primal RNEA chain 2*nj times and (b) propagated
+    structurally-zero tangents through every joint below the seeded one.
+    Here the primal chain (X, v, a, Iv, f, and the backward force
+    accumulators) is computed ONCE, and each direction propagates only
+    its nonzero tail: for a unit tangent seeded at joint d, dv/da/df
+    vanish for j < d, and the dX term exists only at j == d.  Same math,
+    ~3x fewer vreg ops than 2*nj generic JVP calls (mirrors the
+    reference's analytic fd_and_gradient being one fused routine,
+    iiwa_eepos_grid.cuh forward_dynamics_gradient).
+
+    Mosaic discipline identical to rnea_lane_jvp (materialized tables,
+    no rank-1 values, full-size zeros).
+    """
+    nj, B = q.shape
+    dtype = q.dtype
+    Xc, Xs, Xk = x_tables
+    sin_q, cos_q = jnp.sin(q), jnp.cos(q)
+    ez = _ez_col(dtype)
+    z6 = jnp.zeros((6, B), dtype)
+
+    X, dXdq, I = [], [], []
+    for j in range(nj):
+        s, c = _r(sin_q, j), _r(cos_q, j)
+        X.append(Xc[j][:, :, None] + s[None, :, :] * Xs[j][:, :, None]
+                 + c[None, :, :] * Xk[j][:, :, None])
+        dXdq.append(materialize(
+            c[None, :, :] * Xs[j][:, :, None]
+            - s[None, :, :] * Xk[j][:, :, None], B))
+        I.append(materialize(I_tables[j][:, :, None].astype(dtype), B))
+
+    # ---- primal chain, once (identical to rnea_lane_jvp's primal)
+    v_in, a_in, v, Iv, fs = [], [], [], [], []
+    v_prev, a_prev = z6, z6
+    if gravity:
+        a_prev = a_prev + _grav_col(gravity, dtype)
+    for j in range(nj):
+        v_in.append(v_prev)
+        a_in.append(a_prev)
+        vj = matvec6(X[j], v_prev) + ez * _r(qd, j)
+        aj = (matvec6(X[j], a_prev) + ez * _r(qdd, j)
+              + crm_z(vj, _r(qd, j)))
+        Ivj = matvec6(I[j], vj)
+        fs.append(matvec6(I[j], aj) + crf(vj, Ivj))
+        v.append(vj)
+        Iv.append(Ivj)
+        v_prev, a_prev = vj, aj
+
+    # primal backward accumulators: f_acc[j] = f when the backward loop
+    # visits joint j (needed for the dX' f term at the seed joint)
+    f_acc = [None] * nj
+    f = fs[nj - 1]
+    for j in range(nj - 1, -1, -1):
+        f_acc[j] = f
+        if j > 0:
+            f = fs[j - 1] + matvec6_T(X[j], f)
+
+    ones = jnp.ones((1, B), dtype)
+
+    def _direction(d, dv_d, da_d, pos):
+        """Propagate one unit direction seeded at joint d."""
+        dfs = {d: (matvec6(I[d], da_d) + crf(dv_d, Iv[d])
+                   + crf(v[d], matvec6(I[d], dv_d)))}
+        dv_prev, da_prev = dv_d, da_d
+        for j in range(d + 1, nj):
+            dvj = matvec6(X[j], dv_prev)
+            daj = matvec6(X[j], da_prev) + crm_z(dvj, _r(qd, j))
+            dfs[j] = (matvec6(I[j], daj) + crf(dvj, Iv[j])
+                      + crf(v[j], matvec6(I[j], dvj)))
+            dv_prev, da_prev = dvj, daj
+        dtau_rows = [None] * nj
+        df = dfs[nj - 1]                 # d <= nj-1, so this always exists
+        for j in range(nj - 1, -1, -1):
+            dtau_rows[j] = df[_EZ:_EZ + 1, :]
+            if j > 0:
+                df_new = matvec6_T(X[j], df)
+                if pos and j == d:
+                    df_new = df_new + matvec6_T(dXdq[d], f_acc[d])
+                prev = dfs.get(j - 1)    # zero (absent) below the seed
+                df = (prev + df_new) if prev is not None else df_new
+        return jnp.concatenate(dtau_rows, axis=0)
+
+    cols = []
+    for d in range(nj):          # d/dq_d directions
+        dv_d = matvec6(dXdq[d], v_in[d])
+        da_d = matvec6(dXdq[d], a_in[d]) + crm_z(dv_d, _r(qd, d))
+        cols.append(_direction(d, dv_d, da_d, pos=True))
+    for d in range(nj):          # d/dqd_d directions
+        dv_d = ez * ones
+        da_d = crm_z(dv_d, _r(qd, d)) + crm_z(v[d], ones)
+        cols.append(_direction(d, dv_d, da_d, pos=False))
+    return cols
+
+
 def rnea_lane_jvp(x_tables, I_tables, q, qd, qdd, tq, tqd,
                   gravity: float = 0.0):
     """Hand-written forward-mode RNEA: (tau, dtau) for tangents (tq, tqd)

@@ -52,9 +52,13 @@ def load_fixture_pair(directory, start: int, goal: int, model=None):
     return xu, np.asarray(ee, np.float32)
 
 
-def horizon_slices(xu: np.ndarray, ee: np.ndarray, knot_points: int):
-    """Initial (X, U, goals, xs) for an N-knot horizon at the traj start."""
-    X = xu[:knot_points, :NX].copy()
-    U = xu[:knot_points - 1, NX:].copy()
+def horizon_slices(xu: np.ndarray, ee: np.ndarray, knot_points: int,
+                   nx: int = NX):
+    """Initial (X, U, goals, xs) for an N-knot horizon at the traj start.
+
+    nx: state width of the xu rows (default the IIWA's 14; pass 2*nq for
+    other robots -- the rows are [q, qd, u])."""
+    X = xu[:knot_points, :nx].copy()
+    U = xu[:knot_points - 1, nx:].copy()
     goals = ee[:knot_points].copy()
     return X, U, goals, X[0].copy()

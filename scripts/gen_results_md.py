@@ -371,6 +371,34 @@ def main():
                      "truncated Krylov loop) but yields exact duals -- "
                      "see the truncated-vs-exact analysis below for why "
                      "pcg remains the tracking-grade default.\n")
+        rr = []
+        for nk in sorted(lc.get("rows", {}), key=lambda k: int(k[1:])):
+            q = lc["rows"][nk].get("pcg_rel_residual")
+            if q:
+                rr.append(f"N={nk[1:]}: p50 {q['p50']:.1e} "
+                          f"(max {q['max']:.1e})")
+        if rr:
+            L.append("**Cap-hit honesty.** The flagship runs at a "
+                     "85-92% PCG cap-hit rate at the TPU-retuned caps "
+                     "(precond ablation table above), which the "
+                     "reference would flag as a reliability warning at "
+                     ">50% (reference include/mpcsim.cuh:436-441).  "
+                     "This is deliberate, not divergence: the caps were "
+                     "retuned as a step-damping mechanism (the round-3 "
+                     "truncated-vs-exact analysis below -- exact duals "
+                     "TRACK WORSE on most pairs), and the dual quality "
+                     "the truncated warm-started solve actually "
+                     "delivers is measured, not assumed: relative "
+                     "residual ||S lam - gamma||/||gamma|| of the "
+                     "production-cap solution over tracking-run "
+                     "snapshots: " + ", ".join(rr) +
+                     ".  The residual stays bounded across the run "
+                     "(warm-starting carries information between "
+                     "updates), the tracking error is parity-or-better "
+                     "vs the reference-tuned caps at every N, and the "
+                     "linsys=\"auto\" failover latches to the "
+                     "exact-dual backend on the pairs where truncation "
+                     "genuinely breaks down (all-pairs table).\n")
 
     if ap:
         s = ap.get("summary", {})

@@ -165,7 +165,7 @@ def bench_n(n: int, n_updates: int, stride: int, scan_iters: int):
     l2k = lambda a: np.transpose(np.asarray(a), (2, 0, 1))
 
     per = {"pcg": [], "bcr": [], "bcr_pcg": [], "qdldl_factor_solve": [],
-           "qdldl_assembly_host": []}
+           "qdldl_assembly_host": [], "pcg_rel_residual": []}
     iters_rec = {"pcg": [], "bcr_pcg": []}
     tol_j = jnp.asarray(tol, jnp.float32)
 
@@ -181,10 +181,26 @@ def bench_n(n: int, n_updates: int, stride: int, scan_iters: int):
             return l0 + 1e-20 * lam_new  # same solve every scan iteration
 
         per["pcg"].append(device_time_us(pcg_step, lam_l, scan_iters))
-        _, _, _, it, _ = jax.jit(
+        lam_prod, _, _, it, _ = jax.jit(
             lambda l0: pcg_dz_pallas_lanes(ls, l0, cap, tol_j,
                                            interpret=interp))(lam_l)
         iters_rec["pcg"].append(int(it))
+
+        # cap-hit honesty (round-5 VERDICT item 9): the flagship runs at
+        # a high cap-hit rate by design (truncation-as-damping); record
+        # the actual dual quality the truncated warm-started solve
+        # delivers -- relative residual ||S lam - gamma|| / ||gamma|| of
+        # the production-cap solution at the production warm start.
+        S_bt = BlockTri(jnp.asarray(l2k(ls.SL)), jnp.asarray(l2k(ls.SD)),
+                        jnp.asarray(l2k(ls.SU)))
+        gam_t = jnp.asarray(np.asarray(ls.gamma).T)
+        from mpcgpu_tpu.ops.btridiag import spmv as _spmv
+
+        r = np.asarray(_spmv(S_bt, jnp.asarray(np.asarray(lam_prod).T)))
+        r = r - np.asarray(gam_t)
+        per["pcg_rel_residual"].append(
+            float(np.linalg.norm(r) / max(np.linalg.norm(
+                np.asarray(gam_t)), 1e-30)))
 
         # --- bcr (exact): fused kernel at N<=256, portable XLA at 512
         if n <= 256:
@@ -272,9 +288,18 @@ def bench_n(n: int, n_updates: int, stride: int, scan_iters: int):
                 "max_us": round(float(a.max()), 1),
                 "n_solves": int(a.size)}
 
+    resid = per.pop("pcg_rel_residual")
     row = {k: stats(v) for k, v in per.items() if v}
     row["per_solve_us"] = {k: [round(float(x), 1) for x in v]
                            for k, v in per.items() if v}
+    if resid:
+        a = np.asarray(resid, np.float64)
+        row["pcg_rel_residual"] = {
+            "mean": float(f"{a.mean():.3e}"),
+            "p50": float(f"{np.median(a):.3e}"),
+            "max": float(f"{a.max():.3e}"),
+            "note": "||S lam - gamma||/||gamma|| of the production-cap "
+                    "warm-started PCG solution (cap-hit honesty metric)"}
     row["pcg_iters"] = iters_rec["pcg"]
     if iters_rec["bcr_pcg"]:
         row["bcr_pcg_iters"] = iters_rec["bcr_pcg"]

@@ -54,3 +54,62 @@ def test_rnea_lane_jvp_matches_autodiff(iiwa):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dtau), np.asarray(dtau_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_rnea_lane_dtau_units_matches_jvp(iiwa):
+    """The shared-primal unit-direction tangent routine (round 5, the
+    KKT stage's dominant-cost cut) must reproduce per-direction
+    rnea_lane_jvp calls exactly (same math, zero-term skipping only)."""
+    import jax
+
+    from mpcgpu_tpu.ops.pallas import lanedyn as ld
+
+    rng = np.random.default_rng(7)
+    B = 9
+    nj = 7
+    q = jnp.asarray(rng.uniform(-1, 1, (nj, B)), jnp.float32)
+    qd = jnp.asarray(rng.uniform(-1, 1, (nj, B)), jnp.float32)
+    qdd = jnp.asarray(rng.uniform(-2, 2, (nj, B)), jnp.float32)
+    xt = (iiwa.Xc, iiwa.Xs, iiwa.Xk)
+
+    cols = ld.rnea_lane_dtau_units(xt, iiwa.I, q, qd, qdd)
+    assert len(cols) == 2 * nj
+    for d in range(2 * nj):
+        e = np.zeros((nj, 1), np.float32)
+        e[d % nj] = 1.0
+        ej = jnp.asarray(np.broadcast_to(e, (nj, B)))
+        tq = ej * (1.0 if d < nj else 0.0)
+        tqd = ej * (0.0 if d < nj else 1.0)
+        _, dtau_ref = ld.rnea_lane_jvp(xt, iiwa.I, q, qd, qdd, tq, tqd)
+        np.testing.assert_allclose(
+            np.asarray(cols[d]), np.asarray(dtau_ref), rtol=1e-5,
+            atol=1e-5, err_msg=f"direction {d}")
+
+
+def test_rnea_lane_dtau_units_gravity_planar2r():
+    """Non-default joint count (nj=2) + gravity path."""
+    import jax
+
+    from mpcgpu_tpu.models.planar2r import planar2r
+    from mpcgpu_tpu.ops.pallas import lanedyn as ld
+
+    m = planar2r()
+    rng = np.random.default_rng(11)
+    B = 5
+    q = jnp.asarray(rng.uniform(-1, 1, (2, B)), jnp.float32)
+    qd = jnp.asarray(rng.uniform(-1, 1, (2, B)), jnp.float32)
+    qdd = jnp.asarray(rng.uniform(-2, 2, (2, B)), jnp.float32)
+    xt = (m.Xc, m.Xs, m.Xk)
+
+    cols = ld.rnea_lane_dtau_units(xt, m.I, q, qd, qdd, gravity=-9.81)
+    for d in range(4):
+        e = np.zeros((2, 1), np.float32)
+        e[d % 2] = 1.0
+        ej = jnp.asarray(np.broadcast_to(e, (2, B)))
+        tq = ej * (1.0 if d < 2 else 0.0)
+        tqd = ej * (0.0 if d < 2 else 1.0)
+        _, dtau_ref = ld.rnea_lane_jvp(xt, m.I, q, qd, qdd, tq, tqd,
+                                       gravity=-9.81)
+        np.testing.assert_allclose(
+            np.asarray(cols[d]), np.asarray(dtau_ref), rtol=1e-5,
+            atol=1e-5, err_msg=f"direction {d}")
