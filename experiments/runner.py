@@ -20,7 +20,8 @@ from typing import Optional, Sequence, Union
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
-DEFAULT_KNOTS = (8, 16, 32, 64, 128, 256, 512)
+DEFAULT_KNOTS = (2, 4, 8, 16, 32, 64, 128, 256, 512)  # reference sweeps
+# from N=2 (reference experiments/01_precond_then_long_running.py:8)
 
 
 @dataclasses.dataclass
