@@ -234,11 +234,16 @@ def main() -> int:
                     "device": str(jax.devices()[0]),
                     "linsys": linsys,
                     # actual engagement, not the config flag (the flag is
-                    # ignored for combinations the megakernel doesn't cover)
-                    "megakernel": megakernel_engages(cfg, linsys),
+                    # ignored for combinations the megakernel doesn't
+                    # cover).  auto's un-latched path solves with "pcg",
+                    # so engagement is the pcg branch's.
+                    "megakernel": megakernel_engages(
+                        cfg, "pcg" if linsys == "auto" else linsys),
                     "megakernel_solve": bool(
-                        megakernel_engages(cfg, linsys)
-                        and cfg.megakernel_solve and linsys == "pcg"),
+                        megakernel_engages(
+                            cfg, "pcg" if linsys == "auto" else linsys)
+                        and cfg.megakernel_solve
+                        and linsys in ("pcg", "auto")),
                     "mat_bands": bool(cfg.megakernel_mat_bands),
                     "n_updates": n_updates,
                     "pcg_max_iter": cfg.pcg.max_iter,
