@@ -49,7 +49,8 @@ def main():
         hs3["rows"].update(hs3stair.get("rows", {}))
     hs = load("results/round2/horizon_scaling.json")
     pc = load("results/round3/pcg_cost_n64.json")
-    mb = (load("results/round3/stage_microbench_n64.json")
+    mb = (load("results/round5/stage_microbench_n64.json")
+          or load("results/round3/stage_microbench_n64.json")
           or load("results/stage_microbench_n64.json"))
     kr = (load("results/kernel_regression_tpu.json")
           or load("results/round3/kernel_regression_tpu.json"))
@@ -63,7 +64,8 @@ def main():
     pa_rr = load("results/round4/precond_ablation_tpu_n3264_rerun.json")
     if pa and pa_rr:
         pa["rows"].update(pa_rr.get("rows", {}))
-    lc = load("results/round4/linsys_compare_tpu.json")
+    lc = (load("results/round5/linsys_compare_tpu.json")
+          or load("results/round4/linsys_compare_tpu.json"))
     if lc and "CPU" in str(lc.get("device", "")):
         lc = None  # CPU smoke artifact; only render the hardware run
     # round-4 long-horizon rerun: multi-tile whole-solve megakernel (pcg)

@@ -340,7 +340,7 @@ def main():
         "reference": "include/common/settings.cuh:109-118 TIME_LINSYS; "
         "experiments/02_long_running.py",
         "rows": {}}
-    out = REPO / "results" / "round4" / "linsys_compare_tpu.json"
+    out = REPO / "results" / "round5" / "linsys_compare_tpu.json"
     out.parent.mkdir(parents=True, exist_ok=True)
 
     for n in args.ns:
