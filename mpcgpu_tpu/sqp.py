@@ -121,12 +121,16 @@ def megakernel_engages(cfg: SolverConfig, linsys: str) -> bool:
     the engagement condition -- bench/report code must use this instead
     of echoing cfg.megakernel (round-2 VERDICT weak #5).
 
-    pcg engages at any N <= 128 and at multiples of 128 beyond (the
+    pcg engages at 4 <= N <= 128 and at multiples of 128 beyond (the
     per-knot stage tiles in-kernel, kkt_schur_kernel._perknot_tiled);
     bcr stays single-tile power-of-2 (the in-kernel BCR recursion is
-    single-tile-bound)."""
+    single-tile-bound).  The envelope FLOOR is N=4: at the degenerate
+    N=2 lane width the cross-knot pltpu.roll misbehaves on hardware
+    (round-5 kernel regression: gamma rel 6e-3 vs portable at N=2,
+    exact at N=4; interpret mode exact at both), so N=2 runs the
+    portable path."""
     n = cfg.knot_points
-    fused = cfg.pallas_stages and (n <= 128 or n % 128 == 0)
+    fused = cfg.pallas_stages and n >= 4 and (n <= 128 or n % 128 == 0)
     return bool(cfg.megakernel and fused and (
         (linsys == "bcr" and n <= 128 and (n & (n - 1)) == 0)
         or (linsys == "pcg" and (n <= 128 or n % 128 == 0))))
@@ -171,11 +175,13 @@ def sqp_solve(model: RobotModel, cfg: SolverConfig, X, U, lam, goals, xs,
     n_iter = cfg.sqp_max_iter
     alphas = (1.0 / 2 ** jnp.arange(cfg.num_alphas)).astype(X.dtype)
 
-    # Fused stages cover all horizon lengths: the monolithic lane kernel up
-    # to 128 knots (single-tile lane width), the tiled grid kernel beyond
-    # (the round-1 Mosaic layout bug only hit multi-tile lane widths inside
+    # Fused stages cover N >= 4: the monolithic lane kernel up to 128
+    # knots (single-tile lane width), the tiled grid kernel beyond (the
+    # round-1 Mosaic layout bug only hit multi-tile lane widths inside
     # one kernel; see ops/pallas/kkt_schur_kernel.form_kkt_schur_tiled).
-    use_fused_stages = cfg.pallas_stages and (
+    # N=2 runs portable: the width-2 cross-knot pltpu.roll misbehaves on
+    # hardware (round-5 kernel regression; interpret mode is exact).
+    use_fused_stages = cfg.pallas_stages and cfg.knot_points >= 4 and (
         cfg.knot_points <= 128 or cfg.knot_points % 128 == 0
     )
     # whole-iteration megakernel: the full dual solve fused with everything
