@@ -11,7 +11,14 @@ update into a 2000 us real-time budget at 500 Hz
 that budget divided by our per-update latency (>1 = faster than
 real-time).
 
-Default configuration: the whole-solve PCG megakernel (every SQP
+Default configuration (round 5): `--linsys auto` -- the only backend
+that is correct on all 21 reference trajectory pairs (zero false
+latches on healthy pairs, rescues the preconditioner-hostile 1_0 --
+results/round4/tpu_all_pairs.json); its un-latched path runs the
+flagship pcg solver below, with the chunked failover latch
+(SolverConfig.failover_check_every) amortizing the backend cond to
+zero measured overhead.  The pcg branch uses the whole-solve PCG
+megakernel (every SQP
 iteration of an update in ONE Pallas dispatch, lead-layout CG) at the
 TPU-retuned iteration cap -- hardware bit-exact vs the staged stage-
 kernel path (results/round3/megasolve_check.json) and ~17 us/update
@@ -41,12 +48,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--updates", type=int, default=256)
-    ap.add_argument("--linsys", default="pcg",
+    ap.add_argument("--linsys", default="auto",
                     choices=["pcg", "bcr", "bcr_pcg", "pcg_pallas", "dense",
                              "qdldl", "auto"],
-                    help="'auto' = pcg with the rho-bail-rate monitor, "
-                    "failing over to bcr_pcg when the EMA trips "
-                    "(SolverConfig.failover_*; the pair-1_0 rescue)")
+                    help="'auto' (default since round 5) = pcg with the "
+                    "error-gated rho-bail monitor, failing over to bcr_pcg "
+                    "when BOTH EMAs trip (SolverConfig.failover_*; the "
+                    "pair-1_0 rescue).  The chunked latch "
+                    "(failover_check_every) amortizes the backend cond, so "
+                    "auto costs no more than plain pcg on healthy pairs "
+                    "(results/round5/bench_auto.json: 237.4 vs 262.7 us)")
     ap.add_argument("--megakernel", action="store_true",
                     help="iteration-scope megakernel (one Pallas dispatch "
                     "per SQP iteration; slower than --mega-solve, kept as "
@@ -58,7 +69,7 @@ def main() -> int:
                     "staged at N=64, hardware bit-exact -- "
                     "results/round3/bench_megasolve.json; use "
                     "--no-mega-solve for the staged stage-kernel path). "
-                    "Engages at N <= 128 or N % 128 == 0 for pcg "
+                    "Engages at N <= 128 or N %% 128 == 0 for pcg "
                     "(sqp.megakernel_engages); automatic staged fallback "
                     "elsewhere.")
     ap.add_argument("--sqp-max-iter", type=int, default=4)

@@ -63,6 +63,10 @@ class MPCRecord:
     # per update in linsys="auto" mode: True where the bcr_pcg failover
     # backend ran (the rho-bail-rate monitor had latched)
     failed_over: List[bool] = dataclasses.field(default_factory=list)
+    # per-update relative Schur-dual residual ||gamma - S lam||/||gamma||
+    # at the returned iterate (simulate_mpc(record_dual_residual=True);
+    # the cap-exit-rate honesty metric -- see _dual_residual)
+    dual_residuals: List[float] = dataclasses.field(default_factory=list)
     final_tracking_error: float = float("nan")
     control_updates: int = 0
     timesteps: int = 0
@@ -84,6 +88,11 @@ class MPCRecord:
             ),
             "control_updates": self.control_updates,
             "timesteps": self.timesteps,
+            **({"dual_residual_p50": float(np.median(self.dual_residuals)),
+                "dual_residual_p90": float(np.percentile(
+                    self.dual_residuals, 90)),
+                "dual_residual_max": float(np.max(self.dual_residuals))}
+               if self.dual_residuals else {}),
         }
 
 
@@ -170,6 +179,33 @@ def _tracking_error(model: RobotModel, xs, goal0):
     return jnp.abs(ee[:3] - goal0[:3]).sum()
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _dual_residual(model: RobotModel, cfg: SolverConfig, X, U, lam, goals,
+                   xs, rho):
+    """Relative Schur-dual residual ||gamma - S lam|| / ||gamma|| at the
+    returned iterate: re-linearize at (X, U), form the Schur system, and
+    measure how well the carried duals satisfy it.
+
+    This is the warm-start quality the next solve inherits -- the honest
+    counterweight to the PCG cap-exit rate (the reference warns at a
+    >50% cap-exit rate, mpcsim.cuh:436-441; the TPU-retuned cap runs at
+    85-92%, which this metric shows is NOT a divergence: the truncated
+    duals stay within a few percent of the exact-solve residual floor).
+    Diagnostic-only: never part of the solver's hot program."""
+    from mpcgpu_tpu.ops.btridiag import spmv
+    from mpcgpu_tpu.ops.kkt import form_kkt
+    from mpcgpu_tpu.ops.schur import form_schur
+
+    kkt = form_kkt(model, X, U, goals, xs, cfg.timestep,
+                   cfg.cost.qd_cost, cfg.cost.r_cost, cfg.integrator_type,
+                   cfg.gravity, cfg.cost.hessian, cfg.angle_wrap,
+                   cfg.cost.tracking, cfg.cost.q_cost)
+    sch = form_schur(kkt, rho, preconditioned=False)
+    r = sch.gamma - spmv(sch.S, lam)
+    return jnp.linalg.norm(r) / jnp.maximum(
+        jnp.linalg.norm(sch.gamma), jnp.asarray(1e-30, sch.gamma.dtype))
+
+
 def _rollout_and_error(model: RobotModel, cfg: SolverConfig, xs, U_prev,
                        goals, offset_us, sim_time_us, max_substeps: int):
     """Plant rollout + tracking-error probe; fused Pallas kernel when the
@@ -223,6 +259,7 @@ def simulate_mpc(
     warmup_iters: int = 100,
     const_update_freq: bool = True,
     fine_grained_timing: bool = False,
+    record_dual_residual: bool = False,
     verbose: bool = False,
 ) -> MPCRecord:
     """Track a precomputed trajectory with the SQP solver in the loop.
@@ -326,6 +363,11 @@ def simulate_mpc(
         np.asarray(res.stats.final_merit)
         solve_us = (time.perf_counter() - t0) * 1e6
         X, U, lam, rho = res.X, res.U, res.lam, res.rho
+        if record_dual_residual:
+            # at the returned iterate, with the pre-update goals/xs the
+            # solve saw (diagnostic dispatch, outside the timed region)
+            rec.dual_residuals.append(float(_dual_residual(
+                model, cfg, X, U, lam, goals, xs, rho)))
 
         sim_time = cfg.simulation_period_us if const_update_freq else solve_us
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 import time
 import traceback
@@ -643,7 +644,8 @@ def main():
             # drop stale fused-check entries for this n from a previous
             # (pre-gate) run of this script
             for k in [k for k in results
-                      if k.endswith(f"_n{n}") and "portable_floor" not in k]:
+                      if re.search(rf"_n{n}(_|$)", k)
+                      and "portable_floor" not in k]:
                 del results[k]
             results[f"portable_floor_n{n}"] = {
                 "ok": fin and same, "finite": fin,
