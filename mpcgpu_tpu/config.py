@@ -80,7 +80,7 @@ class PCGConfig:
         cap24_n128/cap24_n256/cap16_n256.json: at N>=128 cap 24 keeps
         the error identical to 3 decimals while cutting the update time
         ~12-21%; at N=64/32 cap 40 is the quality optimum)."""
-        return {32: 40, 64: 40, 128: 24, 256: 24, 512: 16}.get(
+        return {32: 40, 64: 40, 128: 24, 256: 24, 512: 16, 1024: 16}.get(
             knot_points, 40)
 
 

@@ -77,9 +77,24 @@ def _perknot(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
     both the single full-width kernel and the 128-lane tiled grid kernel.
 
     Returns (A, B, f_pred, Qinv, Rinv, qg, rg, AQi, T, t_vec, Qiq)."""
-    nx = 2 * nq
-    n = X.shape[1]
-    dtype = X.dtype
+    return _perknot_rest(
+        nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
+        rho, X, U, goals,
+        _perknot_dyn(nq, gravity, X, U, x_tab, h_tab, dh_tab, I_tab,
+                     tracking),
+        wrap=wrap, tracking=tracking, q_cost=q_cost)
+
+
+def _perknot_dyn(nq: int, gravity: float, X, U, x_tab, h_tab, dh_tab,
+                 I_tab, tracking: str = "eepos"):
+    """The single-tile-bound slice of the per-knot stage: heavy dynamics
+    with tangent pushes (and the EE forward kinematics + Jacobian for the
+    eepos plant).  The tangent-RNEA chain is the one routine that must
+    stay at <= 128 lanes (the round-1 Mosaic lesson, CLAUDE.md) -- this
+    split lets _perknot_tiled run everything downstream at full
+    multi-tile width.
+
+    Returns (qdd, Minv, dfdq, dfdqd[, ee, J])."""
     q, qd = X[:nq], X[nq:]
 
     # ---- forward dynamics + gradient (reference fd_and_gradient comp.)
@@ -97,6 +112,30 @@ def _perknot(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
                  for dtau_j in dtau_cols]
     dfdq = jnp.stack(dqdd_cols[:nq], axis=1)                # (nq, nq, N)
     dfdqd = jnp.stack(dqdd_cols[nq:], axis=1)
+    if tracking == "joint":
+        return qdd, Minv, dfdq, dfdqd
+    ee, J = ld.fk_ee_and_jac(h_tab, dh_tab, X[:nq])         # (3,N), (3,nq,N)
+    return qdd, Minv, dfdq, dfdqd, ee, J
+
+
+def _perknot_rest(nq: int, nu: int, dt: float, qd_cost: float,
+                  r_cost: float, integrator_type: int, gravity: float,
+                  hessian: str, rho, X, U, goals, dyn,
+                  wrap: bool = False, tracking: str = "eepos",
+                  q_cost: float = 1.0):
+    """Everything per-knot downstream of the dynamics tangents: integrator
+    gradient assembly, cost derivatives, regularized inverses, and the
+    per-knot Schur products.  Multi-tile-safe (the same op families run
+    at full width in the megakernel's cross-knot assembly), so the tiled
+    path calls this ONCE at full lane width."""
+    nx = 2 * nq
+    n = X.shape[1]
+    dtype = X.dtype
+    q, qd = X[:nq], X[nq:]
+    if tracking == "joint":
+        qdd, Minv, dfdq, dfdqd = dyn
+    else:
+        qdd, Minv, dfdq, dfdqd, ee, J = dyn
 
     # ---- integrator gradient (integrator.cuh:61-100)
     # constant tensors are materialized (iota-zero add): Mosaic crashes
@@ -140,7 +179,7 @@ def _perknot(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,
         Q_pos = q_cost * eye_q
     else:
         # ---- cost gradient / Hessian (iiwa_eepos_plant.cuh:297-378)
-        ee, J = ld.fk_ee_and_jac(h_tab, dh_tab, q)          # (3,N), (3,nq,N)
+        # (ee, J computed in _perknot_dyn alongside the dynamics)
         e3 = ee - goals
         g_q = ld.lane_matvec_T(J, e3)                       # (nq, N)
         qg = jnp.concatenate([g_q, qd_cost * qd], axis=0)   # (nx, N)
@@ -191,12 +230,19 @@ def _perknot_tiled(nq: int, nu: int, dt: float, qd_cost: float,
                    hessian: str, rho, X, U, goals, x_tab, h_tab, dh_tab,
                    I_tab, wrap: bool = False, tracking: str = "eepos",
                    q_cost: float = 1.0, tile: int = 128):
-    """_perknot at multi-tile lane widths: an unrolled in-kernel loop over
-    128-lane tiles (static, tile-aligned slices), outputs reassembled by
-    lane-axis concatenation.
+    """_perknot at multi-tile lane widths: the single-tile-bound dynamics
+    slice (_perknot_dyn: tangent-RNEA + FK/Jacobian) runs as an unrolled
+    in-kernel loop over 128-lane tiles (static, tile-aligned slices),
+    reassembled by lane-axis concatenation; everything downstream
+    (_perknot_rest: integrator/cost assembly, inverses, Schur products)
+    runs ONCE at full multi-tile width -- the same op families already
+    run full-width in the megakernel's cross-knot assembly, and the
+    round-5 split removes the per-tile constant materializations and the
+    11-output concat glue the old everything-tiled loop paid
+    (results/round5/mega_cg_probe fixed-cost reduction at N=256).
 
-    The tangent-RNEA stage inside _perknot is the one routine that must
-    stay at single-tile lane widths (the round-1 Mosaic lesson, CLAUDE.md);
+    The tangent-RNEA stage is the one routine that must stay at
+    single-tile lane widths (the round-1 Mosaic lesson, CLAUDE.md);
     everything per-knot is lane-local, so slicing the knot axis is exact.
     This is the in-kernel counterpart of form_kkt_schur_tiled's Pallas
     grid -- used by the whole-solve megakernel, whose SQP/CG loops cannot
@@ -212,13 +258,13 @@ def _perknot_tiled(nq: int, nu: int, dt: float, qd_cost: float,
     for t in range(n // tile):
         sl = lambda a: jax.lax.slice_in_dim(a, t * tile, (t + 1) * tile,
                                             axis=a.ndim - 1)
-        rho_t = sl(rho) if getattr(rho, "ndim", 0) == 2 else rho
-        parts.append(_perknot(
-            nq, nu, dt, qd_cost, r_cost, integrator_type, gravity, hessian,
-            rho_t, sl(X), sl(U), sl(goals), x_tab, h_tab, dh_tab, I_tab,
-            wrap=wrap, tracking=tracking, q_cost=q_cost))
-    return tuple(jnp.concatenate(ps, axis=ps[0].ndim - 1)
-                 for ps in zip(*parts))
+        parts.append(_perknot_dyn(nq, gravity, sl(X), sl(U), x_tab,
+                                  h_tab, dh_tab, I_tab, tracking))
+    dyn = tuple(jnp.concatenate(ps, axis=ps[0].ndim - 1)
+                for ps in zip(*parts))
+    return _perknot_rest(nq, nu, dt, qd_cost, r_cost, integrator_type,
+                         gravity, hessian, rho, X, U, goals, dyn,
+                         wrap=wrap, tracking=tracking, q_cost=q_cost)
 
 
 def _kernel(nq: int, nu: int, dt: float, qd_cost: float, r_cost: float,

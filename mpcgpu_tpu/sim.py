@@ -182,16 +182,18 @@ def _tracking_error(model: RobotModel, xs, goal0):
 @partial(jax.jit, static_argnames=("cfg",))
 def _dual_residual(model: RobotModel, cfg: SolverConfig, X, U, lam, goals,
                    xs, rho):
-    """Relative Schur-dual residual ||gamma - S lam|| / ||gamma|| at the
-    returned iterate: re-linearize at (X, U), form the Schur system, and
-    measure how well the carried duals satisfy it.
+    """Backward-error dual residual at the returned iterate:
+    ``||gamma - S lam|| / (||S||_F ||lam|| + ||gamma||)`` with (S, gamma)
+    re-formed at (X, U, rho).  Measures how well the carried duals
+    satisfy the NEW linearization -- the warm-start quality the next
+    solve inherits -- with the standard backward-error normalization
+    (the naive ||r||/||gamma|| blows up near convergence, where gamma
+    itself goes to zero while lam keeps its scale).
 
-    This is the warm-start quality the next solve inherits -- the honest
-    counterweight to the PCG cap-exit rate (the reference warns at a
-    >50% cap-exit rate, mpcsim.cuh:436-441; the TPU-retuned cap runs at
-    85-92%, which this metric shows is NOT a divergence: the truncated
-    duals stay within a few percent of the exact-solve residual floor).
-    Diagnostic-only: never part of the solver's hot program."""
+    The honest counterweight to the PCG cap-exit rate (the reference
+    warns at a >50% cap-exit rate, mpcsim.cuh:436-441; the TPU-retuned
+    cap runs at 85-92%).  Diagnostic-only: never part of the solver's
+    hot program."""
     from mpcgpu_tpu.ops.btridiag import spmv
     from mpcgpu_tpu.ops.kkt import form_kkt
     from mpcgpu_tpu.ops.schur import form_schur
@@ -202,8 +204,11 @@ def _dual_residual(model: RobotModel, cfg: SolverConfig, X, U, lam, goals,
                    cfg.cost.tracking, cfg.cost.q_cost)
     sch = form_schur(kkt, rho, preconditioned=False)
     r = sch.gamma - spmv(sch.S, lam)
+    s_f = jnp.sqrt(jnp.sum(sch.S.lower ** 2) + jnp.sum(sch.S.diag ** 2)
+                   + jnp.sum(sch.S.upper ** 2))
+    denom = s_f * jnp.linalg.norm(lam) + jnp.linalg.norm(sch.gamma)
     return jnp.linalg.norm(r) / jnp.maximum(
-        jnp.linalg.norm(sch.gamma), jnp.asarray(1e-30, sch.gamma.dtype))
+        denom, jnp.asarray(1e-30, sch.gamma.dtype))
 
 
 def _rollout_and_error(model: RobotModel, cfg: SolverConfig, xs, U_prev,

@@ -5,8 +5,8 @@ The flagship runs the TPU-retuned PCG iteration cap (PCGConfig.
 tpu_tuned_max_iter) at an 85-92% cap-exit rate -- far above the
 reference's >50% reliability warning (mpcsim.cuh:436-441).  This probe
 quantifies what those truncated solves actually leave behind: the
-relative Schur-dual residual ||gamma - S lam|| / ||gamma|| at each
-update's returned iterate (sim._dual_residual), for the capped pcg
+backward-error dual residual ||gamma - S lam|| / (||S||_F ||lam|| +
+||gamma||) at each update's returned iterate (sim._dual_residual), for the capped pcg
 backend vs the exact solvers (dense oracle, bcr), on the same
 closed-loop runs.
 
@@ -34,7 +34,7 @@ sys.path.insert(0, str(REPO))
 import numpy as np  # noqa: E402
 
 
-def run_one(n: int, pair: str, linsys: str, max_timesteps: int):
+def run_one(n: int, pair: str, linsys: str, max_updates: int):
     import jax
 
     from mpcgpu_tpu.config import (PCGConfig, SolverConfig,
@@ -45,8 +45,9 @@ def run_one(n: int, pair: str, linsys: str, max_timesteps: int):
 
     fixtures = REPO / "tests" / "fixtures"
     s, e = pair.split("_")
-    xu, ee = load_fixture_pair(fixtures, int(s), int(e))
     model = iiwa14()
+    # non-0_0 pairs have no recorded ee trace; synthesize via FK
+    xu, ee = load_fixture_pair(fixtures, int(s), int(e), model=model)
     cfg = SolverConfig.for_knots(n, sqp_max_iter=4)
     if linsys == "pcg":
         cfg = dataclasses.replace(
@@ -54,8 +55,11 @@ def run_one(n: int, pair: str, linsys: str, max_timesteps: int):
                 cfg.pcg, max_iter=PCGConfig.tpu_tuned_max_iter(n)))
     tol = default_pcg_exit_tols(n)[0]
 
+    # 512 control updates = the round-4 all-pairs protocol
+    # (results/round4/tpu_all_pairs.json: pcg tracks 0_0 at 0.043 m avg
+    # there), so the error column here is comparable with that table
     rec = simulate_mpc(model, cfg, xu, ee, pcg_exit_tol=tol,
-                       linsys=linsys, max_timesteps=max_timesteps,
+                       linsys=linsys, max_control_updates=max_updates,
                        warmup_iters=2, record_dual_residual=True)
     dr = np.asarray(rec.dual_residuals, np.float64)
     return {
@@ -82,7 +86,7 @@ def main():
                     help="'dense' is the exact oracle; 'bcr' also works "
                     "but runs its Pallas kernel in interpreter mode on "
                     "CPU (slow)")
-    ap.add_argument("--max-timesteps", type=int, default=128)
+    ap.add_argument("--updates", type=int, default=512)
     ap.add_argument("--cpu", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -91,15 +95,16 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    out = {"n": args.n, "max_timesteps": args.max_timesteps,
-           "metric": "relative Schur-dual residual ||gamma - S lam||/"
-                     "||gamma|| at the returned iterate (sim._dual_residual)",
+    out = {"n": args.n, "n_updates": args.updates,
+           "metric": "backward-error dual residual ||gamma - S lam|| / "
+                     "(||S||_F ||lam|| + ||gamma||) at the returned "
+                     "iterate (sim._dual_residual)",
            "rows": {}}
     for pair in args.pairs:
         for ls in args.linsys:
             key = f"{pair}_{ls}"
             try:
-                row = run_one(args.n, pair, ls, args.max_timesteps)
+                row = run_one(args.n, pair, ls, args.updates)
             except Exception as exc:  # archive the failure, keep sweeping
                 row = {"error": repr(exc)[:300]}
             out["rows"][key] = row

@@ -224,3 +224,29 @@ def test_mpc_tracks_second_fixture(iiwa, fixtures_dir):
     s = rec.summary()
     assert rec.timesteps == 20
     assert s["avg_tracking_error"] < 0.3, s
+
+
+def test_dual_residual_recording(iiwa, fixtures_dir):
+    """record_dual_residual=True populates MPCRecord.dual_residuals with
+    finite backward errors, and an exact solve (dense) scores a smaller
+    median than a hard-truncated PCG on the same run (the cap-exit
+    honesty metric, sim._dual_residual)."""
+    import dataclasses
+
+    xu, ee = load_fixture_pair(fixtures_dir, 0, 0)
+    cfg = SolverConfig.for_knots(8, sqp_max_iter=2)
+    kw = dict(pcg_exit_tol=1e-5, warmup_iters=1, max_timesteps=4,
+              max_control_updates=64, record_dual_residual=True)
+    trunc = dataclasses.replace(
+        cfg, pcg=dataclasses.replace(cfg.pcg, max_iter=2))
+    rec_t = simulate_mpc(iiwa, trunc, xu, ee, linsys="pcg", **kw)
+    rec_d = simulate_mpc(iiwa, cfg, xu, ee, linsys="dense", **kw)
+    for rec in (rec_t, rec_d):
+        assert len(rec.dual_residuals) == len(rec.sqp_times_us)
+        dr = np.asarray(rec.dual_residuals)
+        assert np.isfinite(dr).all() and (dr >= 0).all()
+        assert {"dual_residual_p50", "dual_residual_p90",
+                "dual_residual_max"} <= rec.summary().keys()
+    assert (np.median(rec_d.dual_residuals)
+            < np.median(rec_t.dual_residuals)), (
+        rec_d.summary(), rec_t.summary())
