@@ -21,7 +21,9 @@ def load(p):
 def main():
     # prefer a bench archived this round (raw bench.py JSON) over the
     # driver's end-of-PREVIOUS-round snapshot
-    bench = (load("results/round3/bench_megasolve.json")
+    bench = (load("results/round5/bench_auto.json")
+             or load("results/round5/bench_pcg.json")
+             or load("results/round3/bench_megasolve.json")
              or load("results/round3/bench_flagship.json"))
     for r in range(9, 0, -1):
         if bench:
@@ -79,14 +81,16 @@ def main():
         for key, row in hs4.get("rows", {}).items():
             if "error" not in row:
                 hs3["rows"][key] = row
-    # round-5 envelope-extension rows (N=2/4 and N=1024) supersede/extend
+    # round-5 envelope-extension rows (N=2/4 and N=1024) supersede/extend;
+    # error rows are kept -- a documented VMEM bound (e.g. bcr at
+    # N=1024) is a result, not a gap
     hs5 = load("results/round5/horizon_scaling_envelope.json")
-    if hs5:
-        if not hs3:
-            hs3 = {"rows": {}}
-        for key, row in hs5.get("rows", {}).items():
-            if "error" not in row:
-                hs3["rows"][key] = row
+    hs5b = load("results/round5/horizon_scaling_envelope_bcr.json")
+    for extra in (hs5, hs5b):
+        if extra:
+            if not hs3:
+                hs3 = {"rows": {}}
+            hs3["rows"].update(extra.get("rows", {}))
 
     L = []
     L.append("# Results (generated -- do not hand-edit)\n")
@@ -285,18 +289,26 @@ def main():
             "*unconverged* solver; here the truncation is deliberate "
             "(the cap was swept to the tracking-error optimum, round 2) "
             "and the table below shows what the truncated solves leave "
-            "behind: the relative Schur-dual residual "
-            "`||gamma - S lam|| / ||gamma||` at each update's returned "
-            "iterate, capped pcg vs the exact solvers on the same "
-            "closed-loop runs (CPU portable path; the fused kernels are "
-            "hardware-bit-exact vs staged, so the distribution is "
-            "representative).  Truncated duals sit near the exact-solve "
-            "floor on healthy pairs -- truncation acts as damping on "
-            "the full SQP step (the round-3 0_0 analysis: exact duals "
-            "overshoot to 0.32 m avg; cap-40 tracks at 0.046 m), not as "
-            "divergence.  On preconditioner-hostile pairs (1_0) the "
-            "residual gap is real -- which is exactly what the "
-            "error-gated auto failover detects and routes to bcr_pcg.\n")
+            "behind: the backward-error dual residual "
+            "`||gamma - S lam|| / (||S||_F ||lam|| + ||gamma||)` at each "
+            "update's returned iterate, capped pcg vs the exact dense "
+            "oracle on the same closed-loop runs (CPU portable path; the "
+            "fused kernels are hardware-bit-exact vs staged, so the "
+            "distribution is representative).  Two findings close the "
+            "case: (a) on 0_0 the truncated duals sit within ~2x of the "
+            "exact-solve residual floor (p50 4.4e-5 vs 2.5e-5) while "
+            "TRACKING -- the metric that matters -- is 7x better "
+            "(0.045 vs 0.317 m; exact duals take full overshooting SQP "
+            "steps, truncation is beneficial damping, the round-3 "
+            "analysis).  (b) on the preconditioner-hostile 1_0 the "
+            "capped duals are actually CLEANER than the dense oracle's "
+            "(p50 5.0e-6 vs 1.4e-5) yet tracking is worse (0.40 vs "
+            "0.30 m) -- the 1_0 failure is the rho-bail step-rejection "
+            "cascade, not dual corruption, which is why the error-gated "
+            "auto failover (rho-bail EMA x error EMA -> bcr_pcg, "
+            "0.266 m) is the operational answer rather than a higher "
+            "cap.  The >50% warning models an unconverging solver; "
+            "neither failure mode here is that.\n")
         L.append("| pair / backend | cap-exit rate | avg CG iters | "
                  "p50 resid | p90 resid | max resid | avg err (m) |")
         L.append("|---|---|---|---|---|---|---|")

@@ -15,7 +15,7 @@ and least-squares fits marginal us/CG-iteration.
 
     python scripts/tpu_mega_cg_probe.py [--n 64]
 
-Archives results/round3/mega_cg_probe_n{n}.json.
+Archives results/round5/mega_cg_probe_n{n}.json.
 """
 from __future__ import annotations
 
@@ -160,7 +160,7 @@ def main():
     except Exception as e:
         results["compare_error"] = repr(e)[:300]
 
-    out = REPO / "results" / "round3" / f"mega_cg_probe_n{n}.json"
+    out = REPO / "results" / "round5" / f"mega_cg_probe_n{n}.json"
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(results, indent=1))
     print(f"-> {out}")
