@@ -131,7 +131,13 @@ def megakernel_engages(cfg: SolverConfig, linsys: str) -> bool:
     portable path."""
     n = cfg.knot_points
     fused = cfg.pallas_stages and n >= 4 and (n <= 128 or n % 128 == 0)
-    return bool(cfg.megakernel and fused and (
+    # CEILING N=512 (round 5): at N=1024 the whole-solve kernel's remote
+    # compile dies in Mosaic (opaque HTTP 500, the known unreadable
+    # failure mode -- results/round5/horizon_scaling_envelope_n1024.json);
+    # the staged fused path serves N=1024 instead (grid-tiled stage
+    # kernels + the fused PCG kernel, whose band working set is ~4.8 MiB
+    # there, well inside VMEM -- check_pcg_vmem_fit).
+    return bool(cfg.megakernel and fused and n <= 512 and (
         (linsys == "bcr" and n <= 128 and (n & (n - 1)) == 0)
         or (linsys == "pcg" and (n <= 128 or n % 128 == 0))))
 

@@ -85,8 +85,10 @@ def main():
     # error rows are kept -- a documented VMEM bound (e.g. bcr at
     # N=1024) is a result, not a gap
     hs5 = load("results/round5/horizon_scaling_envelope.json")
+    hs5r = load("results/round5/horizon_scaling_envelope_refresh.json")
+    hs5c = load("results/round5/horizon_scaling_envelope_n1024.json")
     hs5b = load("results/round5/horizon_scaling_envelope_bcr.json")
-    for extra in (hs5, hs5b):
+    for extra in (hs5, hs5r, hs5c, hs5b):
         if extra:
             if not hs3:
                 hs3 = {"rows": {}}
@@ -134,9 +136,16 @@ def main():
         L.append("| N | solver | us/update | vs 2 ms budget | avg err (m) "
                  "| avg PCG iters/update |")
         L.append("|---|---|---|---|---|---|")
-        for key, row in hs3.get("rows", {}).items():
+        for key, row in sorted(
+                hs3.get("rows", {}).items(),
+                key=lambda kv: (int(kv[0].replace("n", "", 1)
+                                    .split("_", 1)[0]), kv[0])):
             if "error" in row:
-                L.append(f"| {key} | | ERROR: {row['error'][:60]} | | | |")
+                err = ("Mosaic remote-compile failure -- see envelope "
+                       "notes below"
+                       if "remote_compile" in row["error"]
+                       else row["error"][:60])
+                L.append(f"| {key} | | ERROR: {err} | | | |")
                 continue
             n_, solver = key.replace("n", "", 1).split("_", 1)
             us = row["us_per_update"]
@@ -144,6 +153,21 @@ def main():
                      f"{row['avg_tracking_error_m']} | "
                      f"{row['avg_pcg_iters_per_update']} |")
         L.append("")
+        if hs5:
+            L.append(
+                "Round-5 envelope notes: N=2 runs the portable path by "
+                "design (width-2 `pltpu.roll` hardware artifact, "
+                "`sqp.megakernel_engages`); N=4 is the fused floor.  "
+                "N=1024 is beyond the fused envelope -- both the "
+                "whole-solve megakernel and the staged fused kernels die "
+                "in the Mosaic remote compile there (the opaque HTTP-500 "
+                "failure mode, results/round5/horizon_scaling_envelope_"
+                "bcr.json), so `megakernel_engages` ceilings at N=512 "
+                "and the N=1024 rows above are the portable-stage "
+                "fallback.  The fused-PCG band working set alone would "
+                "fit VMEM at N=1024 (~4.8 MiB, `check_pcg_vmem_fit`); "
+                "the binding constraint is the Mosaic compile, not "
+                "HBM/VMEM capacity.\n")
 
     # arm-packed throughput curve: every archived bench.py --packed run
     packed = []

@@ -31,7 +31,7 @@ import numpy as np  # noqa: E402
 
 
 def run_config(n: int, linsys: str, n_updates: int, pcg_max_iter=None,
-               tuned_caps=False, megakernel=False):
+               tuned_caps=False, megakernel=False, portable=False):
     import jax
     import jax.numpy as jnp
 
@@ -43,9 +43,17 @@ def run_config(n: int, linsys: str, n_updates: int, pcg_max_iter=None,
 
     fixtures = REPO / "tests" / "fixtures"
     xu, ee = load_fixture_pair(fixtures, 0, 0)
+    if xu.shape[0] < n + 2:
+        # N=1024 horizon exceeds the recorded figure-eight (667 steps);
+        # the path is periodic, so tile it to cover the horizon (latency
+        # row -- the seam discontinuity slightly inflates tracking error)
+        reps = (n + 2) // xu.shape[0] + 1
+        xu = np.concatenate([xu] * reps, axis=0)
+        ee = np.concatenate([ee] * reps, axis=0)
     cfg = dataclasses.replace(SolverConfig.for_knots(n, sqp_max_iter=4),
-                              pallas_stages=True, megakernel=megakernel,
-                              megakernel_solve=megakernel)
+                              pallas_stages=not portable,
+                              megakernel=megakernel and not portable,
+                              megakernel_solve=megakernel and not portable)
     if tuned_caps and pcg_max_iter is None and linsys == "pcg":
         from mpcgpu_tpu.config import PCGConfig
 
@@ -116,6 +124,10 @@ def main():
                     help="flagship config: whole-solve megakernel "
                     "(engages per sqp.megakernel_engages; round 4 "
                     "covers N % 128 == 0 beyond 128 for pcg)")
+    ap.add_argument("--portable", action="store_true",
+                    help="portable XLA stages (no fused kernels): the "
+                    "fallback that serves horizons beyond the fused "
+                    "envelope (N=1024)")
     ap.add_argument("--out-name", default="horizon_scaling.json")
     ap.add_argument("--out-dir", default="round3")
     args = ap.parse_args()
@@ -134,7 +146,7 @@ def main():
             try:
                 row = run_config(n, linsys, args.updates,
                                  args.pcg_max_iter, args.tuned_caps,
-                                 args.megakernel)
+                                 args.megakernel, args.portable)
             except Exception as e:  # archive the failure, keep sweeping
                 row = {"error": repr(e)[:300]}
             results["rows"][key] = row
