@@ -289,6 +289,32 @@ def main():
                 L.append(f"| {k} | {fmt_us(v)} |")
         L.append("")
 
+    mb256 = load("results/round5/stage_microbench_n256.json")
+    if mb256:
+        L.append("## Per-stage device times, N=256 "
+                 "(results/round5/stage_microbench_n256.json; round-5 "
+                 "per-knot-split kernels)\n")
+        L.append(
+            "The floor decomposition behind the 292.3 us/update N=256 "
+            "closed loop: 4 in-kernel SQP iterations x 43.7 us marginal "
+            "+ ~33 us CG (0.371 us/iter x ~88, mega_cg_probe_n256) + "
+            "shift/rollout/non-SQP glue ~12 us; the remainder is "
+            "scan-step and goal-refill overhead in the device-resident "
+            "loop.\n")
+        fmt_us = lambda v: (f"{v}" if v >= 0
+                            else "<2 (sub-noise; slope differenced "
+                            "negative)")
+        L.append("| stage | us/iteration |")
+        L.append("|---|---|")
+        for k, v in mb256.items():
+            if isinstance(v, dict) and "us_per_iter" in v:
+                L.append(f"| {k} | {fmt_us(v['us_per_iter'])} |")
+        for k, v in mb256.items():
+            if isinstance(v, (int, float)) and k.startswith(
+                    ("sqp_", "loop_", "pcg_us")):
+                L.append(f"| {k} | {fmt_us(v)} |")
+        L.append("")
+
     cs = load("results/round2/cap_sweep.json")
     if cs:
         L.append("## PCG iteration-cap retuning, N=64 "
