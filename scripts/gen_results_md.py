@@ -89,7 +89,8 @@ def main():
     hs5c = load("results/round5/horizon_scaling_envelope_n1024.json")
     hs5b = load("results/round5/horizon_scaling_envelope_bcr.json")
     hs5br = load("results/round5/horizon_scaling_envelope_bcr_refresh.json")
-    for extra in (hs5, hs5r, hs5c, hs5b, hs5br):
+    hs5s = load("results/round5/horizon_scaling_envelope_small.json")
+    for extra in (hs5, hs5r, hs5c, hs5b, hs5br, hs5s):
         if extra:
             if not hs3:
                 hs3 = {"rows": {}}
